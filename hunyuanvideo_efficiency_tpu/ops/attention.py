@@ -1,0 +1,205 @@
+"""Attention ops: XLA reference paths + mask construction.
+
+Replaces the reference's FlashAttention-2 varlen packing
+(reference: hyvideo/modules/attenion.py:34-156) with TPU-idiomatic static
+shapes + masking:
+
+* The reference packs [img_tokens, valid_text, padding] into varlen sequences
+  so padding tokens attend only among themselves. Because (a) padding KEYS are
+  masked out for valid queries in every layer, and (b) only img/text token
+  outputs that are themselves valid ever reach the final layer, the values at
+  padding positions can never influence valid outputs. We therefore use a
+  *key-padding bias* only — numerically identical on every valid position and
+  O(L) instead of O(L^2) memory.
+
+* `sdpa_attention` is the plain XLA path (small sequences: token refiner, VAE
+  tiles, CPU tests). `chunked_attention` is an online-softmax flash-style scan
+  used as the large-sequence fallback wherever the Pallas kernel is not
+  available (CPU). The Pallas TPU kernel lives in ops/flash_attention.py.
+
+Layout convention matches the reference pre-dispatch layout: [B, S, H, D]
+(seq-second). Outputs are [B, S, H*D].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+NEG_INF = -1e30
+
+
+def padding_key_bias(text_mask: jnp.ndarray, img_len: int) -> jnp.ndarray:
+    """Additive key bias [B, 1, 1, img_len + text_len] from text mask.
+
+    text_mask: [B, text_len], 1 for valid prompt tokens. All img tokens are
+    valid. Invalid keys receive NEG_INF.
+    """
+    b = text_mask.shape[0]
+    img_valid = jnp.ones((b, img_len), dtype=jnp.bool_)
+    valid = jnp.concatenate([img_valid, text_mask.astype(jnp.bool_)], axis=1)
+    bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+    return bias[:, None, None, :]
+
+
+def sdpa_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention; q/k/v [B, S, H, D] -> [B, Sq, H*D].
+
+    Softmax in fp32 (the reference's SDPA upcasts likewise).
+    """
+    b, sq, h, d = q.shape
+    scale = scale if scale is not None else d ** -0.5
+    qf = jnp.einsum("bqhd->bhqd", q).astype(jnp.float32)
+    kf = jnp.einsum("bkhd->bhkd", k).astype(jnp.float32)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qf * scale, kf)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out.reshape(b, sq, h * d)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, multiple: int):
+    s = x.shape[axis]
+    pad = (-s) % multiple
+    if pad == 0:
+        return x, 0
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), pad
+
+
+def chunked_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_bias: Optional[jnp.ndarray] = None,
+    block_bias_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
+    scale: Optional[float] = None,
+    q_chunk: int = 1024,
+    k_chunk: int = 1024,
+) -> jnp.ndarray:
+    """Online-softmax attention over key chunks; O(Sq·k_chunk) live memory.
+
+    key_bias: [B, 1, 1, Sk] additive bias (key padding).
+    block_bias_fn(q_idx, k_idx): optional fn from absolute query/key index
+    vectors to an additive [q_chunk, k_chunk] bias block (e.g. frame-causal).
+    """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scale = scale if scale is not None else d ** -0.5
+
+    q_p, q_pad = _pad_to(q, 1, q_chunk)
+    k_p, k_pad = _pad_to(k, 1, k_chunk)
+    v_p, _ = _pad_to(v, 1, k_chunk)
+    sq_p, sk_p = q_p.shape[1], k_p.shape[1]
+
+    # Fold key padding-from-chunking into the key bias.
+    kb = jnp.zeros((1, 1, 1, sk_p), jnp.float32)
+    if key_bias is not None:
+        kb = jnp.pad(key_bias.astype(jnp.float32),
+                     ((0, 0), (0, 0), (0, 0), (0, sk_p - sk)),
+                     constant_values=NEG_INF)
+    elif k_pad:
+        kb = kb.at[..., sk:].set(NEG_INF)
+    kb = jnp.broadcast_to(kb, (q.shape[0], 1, 1, sk_p))
+
+    nq = sq_p // q_chunk
+    nk = sk_p // k_chunk
+
+    qc = q_p.reshape(b, nq, q_chunk, h, d)
+    kc = k_p.reshape(b, nk, k_chunk, h, d)
+    vc = v_p.reshape(b, nk, k_chunk, h, d)
+    kbc = kb.reshape(b, 1, 1, nk, k_chunk)
+
+    def q_block(carry_qi):
+        qi, q_blk, kb_all = carry_qi
+        # q_blk: [B, q_chunk, H, D]
+        qf = jnp.einsum("bqhd->bhqd", q_blk).astype(jnp.float32) * scale
+
+        def k_step(carry, inputs):
+            m, l, acc = carry
+            ki, k_blk, v_blk, kb_blk = inputs
+            kf = jnp.einsum("bkhd->bhkd", k_blk).astype(jnp.float32)
+            s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf)
+            s = s + kb_blk[:, :, :, :]  # [B,1,1,k_chunk] broadcast
+            if block_bias_fn is not None:
+                q_idx = qi * q_chunk + lax.broadcasted_iota(jnp.int32, (q_chunk, 1), 0)
+                k_idx = ki * k_chunk + lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
+                s = s + block_bias_fn(q_idx, k_idx)[None, None]
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+            p = jnp.exp(s - m_new[..., None])
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1)
+            acc_new = acc * corr[..., None] + jnp.einsum(
+                "bhqk,bkhd->bhqd", p, v_blk.astype(jnp.float32))
+            return (m_new, l_new, acc_new), None
+
+        m0 = jnp.full((b, h, q_chunk), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((b, h, q_chunk), jnp.float32)
+        a0 = jnp.zeros((b, h, q_chunk, d), jnp.float32)
+        ks = (jnp.arange(nk),
+              jnp.moveaxis(kc, 1, 0), jnp.moveaxis(vc, 1, 0),
+              jnp.moveaxis(kbc, 3, 0))
+        (m, l, acc), _ = lax.scan(k_step, (m0, l0, a0), ks)
+        out = acc / jnp.maximum(l, 1e-37)[..., None]
+        return jnp.einsum("bhqd->bqhd", out)  # [B, q_chunk, H, D]
+
+    outs = lax.map(
+        lambda i: q_block((i, lax.dynamic_index_in_dim(qc, i, 1, keepdims=False), kb)),
+        jnp.arange(nq))
+    out = jnp.moveaxis(outs, 0, 1).reshape(b, sq_p, h, d)[:, :sq]
+    return out.astype(v.dtype).reshape(b, sq, h * d)
+
+
+def frame_causal_block_bias(n_hw: int) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Bias fn for the VAE mid-block: token i may attend token j iff
+    frame(j) <= frame(i) (reference: unet_causal_3d_blocks.py:38-46)."""
+
+    def fn(q_idx: jnp.ndarray, k_idx: jnp.ndarray) -> jnp.ndarray:
+        q_frame = q_idx // n_hw
+        k_frame = k_idx // n_hw
+        return jnp.where(k_frame <= q_frame, 0.0, NEG_INF).astype(jnp.float32)
+
+    return fn
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mode: str = "auto",
+    bias: Optional[jnp.ndarray] = None,
+    key_bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Dispatch: 'sdpa' (full-matrix), 'chunked' (online softmax), 'flash'
+    (Pallas TPU kernel), or 'auto' (pick by sequence length / backend)."""
+    if mode == "auto":
+        on_tpu = q.devices() == set() or jax.default_backend() == "tpu"
+        if q.shape[1] >= 4096 and on_tpu:
+            mode = "flash"
+        elif q.shape[1] >= 8192:
+            mode = "chunked"
+        else:
+            mode = "sdpa"
+    if mode == "sdpa":
+        if bias is None and key_bias is not None:
+            bias = key_bias
+        return sdpa_attention(q, k, v, bias=bias, scale=scale)
+    if mode == "chunked":
+        return chunked_attention(q, k, v, key_bias=key_bias, scale=scale)
+    if mode == "flash":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, key_bias=key_bias, scale=scale)
+    raise NotImplementedError(f"Unsupported attention mode: {mode}")

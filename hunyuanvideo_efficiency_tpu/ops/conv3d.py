@@ -1,0 +1,116 @@
+"""Causal 3D convolution and temporal resampling ops (channels-last).
+
+The reference VAE is built on `CausalConv3d`: a Conv3d whose temporal padding
+is (k-1, 0) with replicate mode so frame t never sees frames > t, and whose
+spatial padding is symmetric k//2 (reference:
+hyvideo/vae/unet_causal_3d_blocks.py:49-75). We keep tensors in NDHWC
+(B, T, H, W, C) — the layout XLA:TPU tiles best — and use
+`lax.conv_general_dilated` with DHWIO kernels. Public pipeline boundaries
+transpose from the reference's NCDHW convention.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def replicate_pad_t(x: jnp.ndarray, before: int, after: int = 0) -> jnp.ndarray:
+    """Edge-replicate padding along the T axis of [B, T, H, W, C]."""
+    if before == 0 and after == 0:
+        return x
+    parts = []
+    if before:
+        parts.append(jnp.repeat(x[:, :1], before, axis=1))
+    parts.append(x)
+    if after:
+        parts.append(jnp.repeat(x[:, -1:], after, axis=1))
+    return jnp.concatenate(parts, axis=1)
+
+
+def causal_conv3d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    stride: Tuple[int, int, int] = (1, 1, 1),
+) -> jnp.ndarray:
+    """Causal conv over [B, T, H, W, C] with kernel [kt, kh, kw, Cin, Cout].
+
+    Padding is edge-replicate everywhere, asymmetric (kt-1, 0) on T (causal)
+    and symmetric k//2 on H/W — exactly the reference's
+    F.pad(..., (kw//2, kw//2, kh//2, kh//2, kt-1, 0), mode='replicate')
+    (reference: hyvideo/vae/unet_causal_3d_blocks.py:68-75).
+    """
+    kt, kh, kw = kernel.shape[0], kernel.shape[1], kernel.shape[2]
+    pad = [(0, 0), (kt - 1, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)]
+    if any(p != (0, 0) for p in pad):
+        x = jnp.pad(x, pad, mode="edge")
+    out = lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=stride,
+        padding="VALID",
+        dimension_numbers=_DN,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def conv3d_1x1(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None
+               ) -> jnp.ndarray:
+    """Pointwise conv == matmul over channels. kernel: [Cin, Cout]."""
+    out = jnp.einsum("bthwc,cd->bthwd", x, kernel.astype(x.dtype))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def causal_avg_pool_t(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
+    """Replicate-pad (k-1, 0) on T then avg_pool3d((k,1,1), (s,1,1)).
+
+    Matches the t-ops pooling hook (reference:
+    hyvideo/vae/unet_causal_3d_blocks.py:767-783).
+    """
+    x = replicate_pad_t(x, kernel - 1, 0)
+    summed = lax.reduce_window(
+        x, 0.0, lax.add,
+        window_dimensions=(1, kernel, 1, 1, 1),
+        window_strides=(1, stride, 1, 1, 1),
+        padding="VALID",
+    )
+    return summed / float(kernel)
+
+
+def interpolate_nearest_t(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Nearest-neighbor temporal upsample by integer scale on [B,T,H,W,C]."""
+    return jnp.repeat(x, scale, axis=1)
+
+
+def _nearest_upsample_hw(x: jnp.ndarray, sh: int, sw: int) -> jnp.ndarray:
+    if sh > 1:
+        x = jnp.repeat(x, sh, axis=2)
+    if sw > 1:
+        x = jnp.repeat(x, sw, axis=3)
+    return x
+
+
+def upsample_nearest_causal_3d(x: jnp.ndarray,
+                               factor: Tuple[int, int, int]) -> jnp.ndarray:
+    """Causal nearest upsample: frame 0 is upsampled spatially only; frames
+    1..T-1 are upsampled on (T, H, W) (reference:
+    hyvideo/vae/unet_causal_3d_blocks.py:155-171). Output T = (T-1)*ft + 1.
+    """
+    ft, fh, fw = factor
+    t = x.shape[1]
+    first = _nearest_upsample_hw(x[:, :1], fh, fw)
+    if t == 1:
+        return first
+    rest = x[:, 1:]
+    if ft > 1:
+        rest = jnp.repeat(rest, ft, axis=1)
+    rest = _nearest_upsample_hw(rest, fh, fw)
+    return jnp.concatenate([first, rest], axis=1)

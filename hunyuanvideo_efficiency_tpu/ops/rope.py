@@ -1,0 +1,103 @@
+"""N-dimensional rotary positional embeddings (3D RoPE for video tokens).
+
+Re-implements the reference RoPE semantics
+(reference: hyvideo/modules/posemb_layers.py:191-310) in JAX:
+
+- Per-axis 1-D frequencies, concatenated along head_dim: rope_dim_list
+  [16, 56, 56] over (t, h, w) sums to head_dim 128.
+- Real-valued (cos, sin) tables with interleaved duplication
+  (`repeat_interleave(2)`), applied with the `rotate_half` convention
+  x*cos + rotate_half(x)*sin where rotate_half maps pairs (x0, x1) to
+  (-x1, x0).
+- Optional NTK-style theta rescale: theta *= rescale ** (dim / (dim - 2)).
+
+Tables are precomputed once per resolution on the host in fp32; application
+happens inside jit in fp32 and casts back to the input dtype.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_1d_rotary_pos_embed(
+    dim: int,
+    pos: np.ndarray,
+    theta: float = 10000.0,
+    theta_rescale_factor: float = 1.0,
+    interpolation_factor: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (cos, sin) with shape [S, dim], interleave-duplicated."""
+    pos = np.asarray(pos, dtype=np.float32)
+    if theta_rescale_factor != 1.0:
+        theta = theta * theta_rescale_factor ** (dim / (dim - 2))
+    freqs = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float32)[: dim // 2] / dim))
+    angles = np.outer(pos * interpolation_factor, freqs)  # [S, dim/2]
+    cos = np.repeat(np.cos(angles), 2, axis=1)  # [S, dim]
+    sin = np.repeat(np.sin(angles), 2, axis=1)
+    return cos, sin
+
+
+def get_meshgrid_nd(sizes: Sequence[int]) -> List[np.ndarray]:
+    """Flattened per-axis coordinates of an n-d grid in row-major order."""
+    axes = [np.arange(s, dtype=np.float32) for s in sizes]
+    grids = np.meshgrid(*axes, indexing="ij")
+    return [g.reshape(-1) for g in grids]
+
+
+def get_nd_rotary_pos_embed(
+    rope_dim_list: Sequence[int],
+    sizes: Sequence[int],
+    theta: float = 10000.0,
+    theta_rescale_factor: Union[float, Sequence[float]] = 1.0,
+    interpolation_factor: Union[float, Sequence[float]] = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build (cos, sin) tables of shape [prod(sizes), sum(rope_dim_list)]."""
+    n = len(rope_dim_list)
+    assert len(sizes) == n
+    if isinstance(theta_rescale_factor, (int, float)):
+        theta_rescale_factor = [float(theta_rescale_factor)] * n
+    if isinstance(interpolation_factor, (int, float)):
+        interpolation_factor = [float(interpolation_factor)] * n
+    coords = get_meshgrid_nd(sizes)
+    cos_parts, sin_parts = [], []
+    for i in range(n):
+        cos_i, sin_i = get_1d_rotary_pos_embed(
+            rope_dim_list[i], coords[i], theta,
+            theta_rescale_factor=theta_rescale_factor[i],
+            interpolation_factor=interpolation_factor[i],
+        )
+        cos_parts.append(cos_i)
+        sin_parts.append(sin_i)
+    cos = np.concatenate(cos_parts, axis=1)
+    sin = np.concatenate(sin_parts, axis=1)
+    return jnp.asarray(cos, dtype=jnp.float32), jnp.asarray(sin, dtype=jnp.float32)
+
+
+def _rotate_half_interleaved(x: jnp.ndarray) -> jnp.ndarray:
+    """Pairs (x0, x1) -> (-x1, x0) along the last axis."""
+    x2 = x.reshape(*x.shape[:-1], -1, 2)
+    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1)
+    return rot.reshape(x.shape)
+
+
+def apply_rotary_emb(
+    xq: jnp.ndarray,
+    xk: jnp.ndarray,
+    freqs_cis: Tuple[jnp.ndarray, jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply rotary embedding to q/k shaped [B, S, H, D] (seq-second layout).
+
+    cos/sin: [S, D]. Computed in fp32 and cast back, matching the reference's
+    fp32 rotation (posemb_layers.py:170-171).
+    """
+    cos, sin = freqs_cis
+    cos = cos[None, :, None, :]
+    sin = sin[None, :, None, :]
+    xqf = xq.astype(jnp.float32)
+    xkf = xk.astype(jnp.float32)
+    xq_out = xqf * cos + _rotate_half_interleaved(xqf) * sin
+    xk_out = xkf * cos + _rotate_half_interleaved(xkf) * sin
+    return xq_out.astype(xq.dtype), xk_out.astype(xk.dtype)
