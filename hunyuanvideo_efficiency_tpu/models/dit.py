@@ -1,0 +1,461 @@
+"""HunyuanVideo MM-DiT backbone — TPU-native functional implementation.
+
+Re-designs the reference HYVideoDiffusionTransformer
+(reference: hyvideo/modules/models.py:396-760) for XLA:
+
+* All 20 double-stream blocks (and all 40 single-stream blocks) share one
+  traced body, iterated with `lax.scan` over stacked parameters: constant
+  compile time in depth and a natural remat boundary.
+* Patch embedding is a reshape + matmul (stride==kernel Conv3d is exactly
+  block-diagonal patchify; reference embed_layers.py:40-58) — lands on the
+  MXU with no conv lowering.
+* Varlen packing (get_cu_seqlens, attenion.py:34-57) is replaced by a
+  key-padding bias over a static [img_len + txt_len] sequence — see
+  ops/attention.py for the equivalence argument.
+* QK-RMSNorm + 3D RoPE (interleaved real cos/sin) + joint img/txt attention
+  match the reference math (models.py:132-252, 326-393).
+
+Parameter tree layout (linears are {'kernel': [in, out], 'bias': [out]}):
+  time_in / vector_in / guidance_in : MLP embedders
+  txt_in : token refiner (token_refiner.py)
+  img_in : {'kernel': [pt*ph*pw*C, hidden], 'bias': [hidden]}
+  double_blocks : every leaf stacked on axis 0 (depth D=20)
+  single_blocks : stacked on axis 0 (depth 40)
+  final_layer : norm-free adaLN + zero-init linear
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import attention, padding_key_bias, sdpa_attention
+from ..ops.norms import layer_norm, rms_norm
+from ..ops.rope import apply_rotary_emb
+from .dit_config import DiTConfig
+
+Params = Dict[str, Any]
+
+ACT = {
+    "gelu": jax.nn.gelu,
+    "gelu_tanh": partial(jax.nn.gelu, approximate=True),
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+}
+
+
+# --------------------------------------------------------------------------
+# small functional layers
+# --------------------------------------------------------------------------
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def mlp(p: Params, x: jnp.ndarray, act: str) -> jnp.ndarray:
+    return linear(p["fc2"], ACT[act](linear(p["fc1"], x)))
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0
+                       ) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, [cos | sin] ordering
+    (reference: embed_layers.py:93-117). fp32."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def timestep_embedder(p: Params, t: jnp.ndarray, dtype,
+                      freq_size: int = 256) -> jnp.ndarray:
+    emb = timestep_embedding(t, freq_size).astype(dtype)
+    return linear(p["mlp_2"], jax.nn.silu(linear(p["mlp_0"], emb)))
+
+
+def mlp_embedder(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """in_layer -> silu -> out_layer (reference: mlp_layers.py:63-73)."""
+    return linear(p["out_layer"], jax.nn.silu(linear(p["in_layer"], x)))
+
+
+def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return x * (1.0 + scale[:, None]) + shift[:, None]
+
+
+def apply_gate(x: jnp.ndarray, gate: jnp.ndarray) -> jnp.ndarray:
+    return x * gate[:, None]
+
+
+def _qk_norm(p_q, p_k, q, k, cfg: DiTConfig):
+    if not cfg.qk_norm:
+        return q, k
+    if cfg.qk_norm_type == "rms":
+        return rms_norm(q, p_q["scale"]), rms_norm(k, p_k["scale"])
+    return (layer_norm(q, p_q.get("scale"), p_q.get("bias")),
+            layer_norm(k, p_k.get("scale"), p_k.get("bias")))
+
+
+# --------------------------------------------------------------------------
+# Token refiner (reference: hyvideo/modules/token_refiner.py)
+# --------------------------------------------------------------------------
+
+def _refiner_block(p: Params, x: jnp.ndarray, c: jnp.ndarray,
+                   attn_bias: Optional[jnp.ndarray], heads: int) -> jnp.ndarray:
+    gates = linear(p["adaLN_modulation"], jax.nn.silu(c))
+    gate_msa, gate_mlp = jnp.split(gates, 2, axis=-1)
+    nx = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"])
+    qkv = linear(p["self_attn_qkv"], nx)
+    b, l, _ = qkv.shape
+    q, k, v = [u.reshape(b, l, heads, -1)
+               for u in jnp.split(qkv, 3, axis=-1)]
+    attn = sdpa_attention(q, k, v, bias=attn_bias)
+    x = x + apply_gate(linear(p["self_attn_proj"], attn), gate_msa)
+    nx2 = layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"])
+    x = x + apply_gate(mlp(p["mlp"], nx2, "silu"), gate_mlp)
+    return x
+
+
+def token_refiner(p: Params, x: jnp.ndarray, t: jnp.ndarray,
+                  mask: Optional[jnp.ndarray], cfg: DiTConfig) -> jnp.ndarray:
+    """LLM hidden states [B, L, text_dim] -> refined [B, L, hidden]
+    (reference: token_refiner.py:164-236)."""
+    dtype = x.dtype
+    t_emb = timestep_embedder(p["t_embedder"], t, dtype)
+    if mask is None:
+        ctx = jnp.mean(x, axis=1)
+    else:
+        mf = mask.astype(x.dtype)[..., None]
+        ctx = jnp.sum(x * mf, axis=1) / jnp.maximum(jnp.sum(mf, axis=1), 1.0)
+    ctx = linear(p["c_embedder"]["linear_2"],
+                 jax.nn.silu(linear(p["c_embedder"]["linear_1"], ctx)))
+    c = t_emb + ctx
+
+    attn_bias = None
+    if mask is not None:
+        m = mask.astype(jnp.bool_)
+        pair = m[:, None, :] & m[:, :, None]  # [B, L, L]
+        pair = pair.at[:, :, 0].set(True)  # avoid NaN rows (reference :157)
+        attn_bias = jnp.where(pair, 0.0, -1e30).astype(jnp.float32)[:, None]
+
+    x = linear(p["input_embedder"], x)
+    for blk in p["blocks"]:
+        x = _refiner_block(blk, x, c, attn_bias, cfg.heads_num)
+    return x
+
+
+# --------------------------------------------------------------------------
+# MM blocks
+# --------------------------------------------------------------------------
+
+def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
+                 vec: jnp.ndarray, key_bias: jnp.ndarray,
+                 freqs_cis, cfg: DiTConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(reference: models.py:132-252)."""
+    b, img_len, h = img.shape
+    heads, d = cfg.heads_num, cfg.head_dim
+
+    img_mod = linear(p["img_mod"], jax.nn.silu(vec))
+    (i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2) = jnp.split(img_mod, 6, -1)
+    txt_mod = linear(p["txt_mod"], jax.nn.silu(vec))
+    (t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2) = jnp.split(txt_mod, 6, -1)
+
+    img_m = modulate(layer_norm(img), i_shift1, i_scale1)
+    img_qkv = linear(p["img_attn_qkv"], img_m).reshape(b, img_len, 3, heads, d)
+    img_q, img_k, img_v = [img_qkv[:, :, i] for i in range(3)]
+    img_q, img_k = _qk_norm(p["img_attn_q_norm"], p["img_attn_k_norm"],
+                            img_q, img_k, cfg)
+    if freqs_cis is not None:
+        img_q, img_k = apply_rotary_emb(img_q, img_k, freqs_cis)
+
+    txt_len = txt.shape[1]
+    txt_m = modulate(layer_norm(txt), t_shift1, t_scale1)
+    txt_qkv = linear(p["txt_attn_qkv"], txt_m).reshape(b, txt_len, 3, heads, d)
+    txt_q, txt_k, txt_v = [txt_qkv[:, :, i] for i in range(3)]
+    txt_q, txt_k = _qk_norm(p["txt_attn_q_norm"], p["txt_attn_k_norm"],
+                            txt_q, txt_k, cfg)
+
+    q = jnp.concatenate([img_q, txt_q], axis=1)
+    k = jnp.concatenate([img_k, txt_k], axis=1)
+    v = jnp.concatenate([img_v, txt_v], axis=1)
+    attn = attention(q, k, v, mode=cfg.attn_mode, key_bias=key_bias)
+    img_attn, txt_attn = attn[:, :img_len], attn[:, img_len:]
+
+    img = img + apply_gate(linear(p["img_attn_proj"], img_attn), i_gate1)
+    img = img + apply_gate(
+        mlp(p["img_mlp"], modulate(layer_norm(img), i_shift2, i_scale2),
+            cfg.mlp_act_type), i_gate2)
+    txt = txt + apply_gate(linear(p["txt_attn_proj"], txt_attn), t_gate1)
+    txt = txt + apply_gate(
+        mlp(p["txt_mlp"], modulate(layer_norm(txt), t_shift2, t_scale2),
+            cfg.mlp_act_type), t_gate2)
+    return img, txt
+
+
+def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
+                 txt_len: int, key_bias: jnp.ndarray, freqs_cis,
+                 cfg: DiTConfig) -> jnp.ndarray:
+    """Fused-linear parallel attn+MLP block (reference: models.py:326-393)."""
+    b, l, h = x.shape
+    heads, d = cfg.heads_num, cfg.head_dim
+    mod = linear(p["modulation"], jax.nn.silu(vec))
+    shift, scale, gate = jnp.split(mod, 3, -1)
+    x_mod = modulate(layer_norm(x), shift, scale)
+    qkv_mlp = linear(p["linear1"], x_mod)
+    qkv, mlp_h = jnp.split(qkv_mlp, [3 * cfg.hidden_size], axis=-1)
+    q, k, v = [u.reshape(b, l, heads, d) for u in jnp.split(qkv, 3, -1)]
+    q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k, cfg)
+    if freqs_cis is not None:
+        img_q, txt_q = q[:, :-txt_len], q[:, -txt_len:]
+        img_k, txt_k = k[:, :-txt_len], k[:, -txt_len:]
+        img_q, img_k = apply_rotary_emb(img_q, img_k, freqs_cis)
+        q = jnp.concatenate([img_q, txt_q], axis=1)
+        k = jnp.concatenate([img_k, txt_k], axis=1)
+    attn = attention(q, k, v, mode=cfg.attn_mode, key_bias=key_bias)
+    out = linear(p["linear2"],
+                 jnp.concatenate([attn, ACT[cfg.mlp_act_type](mlp_h)], axis=-1))
+    return x + apply_gate(out, gate)
+
+
+# --------------------------------------------------------------------------
+# Full model
+# --------------------------------------------------------------------------
+
+def patchify(x: jnp.ndarray, p: Params, patch: Tuple[int, int, int]) -> jnp.ndarray:
+    """[B, C, T, H, W] -> tokens [B, T' H' W', hidden] via reshape+matmul.
+
+    Equivalent to Conv3d(kernel=stride=patch) then flatten; channel ordering
+    inside each patch matches the conv kernel layout (C, pt, ph, pw) so torch
+    weights convert directly.
+    """
+    b, c, t, hh, ww = x.shape
+    pt, ph, pw = patch
+    tt, th, tw = t // pt, hh // ph, ww // pw
+    x = x.reshape(b, c, tt, pt, th, ph, tw, pw)
+    # -> [B, tt, th, tw, C, pt, ph, pw]
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    x = x.reshape(b, tt * th * tw, c * pt * ph * pw)
+    return linear(p, x)
+
+
+def unpatchify(x: jnp.ndarray, tt: int, th: int, tw: int, c: int,
+               patch: Tuple[int, int, int]) -> jnp.ndarray:
+    """Tokens [B, L, pt*ph*pw*C] -> [B, C, T, H, W]
+    (reference: models.py:697-710, einsum 'nthwcopq->nctohpwq')."""
+    pt, ph, pw = patch
+    b = x.shape[0]
+    x = x.reshape(b, tt, th, tw, c, pt, ph, pw)
+    x = jnp.einsum("nthwcopq->nctohpwq", x)
+    return x.reshape(b, c, tt * pt, th * ph, tw * pw)
+
+
+def dit_forward(
+    params: Params,
+    x: jnp.ndarray,              # [B, C, T', H', W'] latent
+    t: jnp.ndarray,              # [B] in [0, 1000)
+    text_states: jnp.ndarray,    # [B, txt_len, text_states_dim]
+    text_mask: jnp.ndarray,      # [B, txt_len]
+    text_states_2: jnp.ndarray,  # [B, text_states_dim_2]
+    freqs_cos: jnp.ndarray,      # [img_len, head_dim]
+    freqs_sin: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,  # [B], cfg_scale * 1000
+    cfg: DiTConfig = None,
+) -> jnp.ndarray:
+    """Full forward (reference: models.py:595-695). Returns [B, C, T', H', W']."""
+    dtype = params["img_in"]["kernel"].dtype
+    x = x.astype(dtype)
+    text_states = text_states.astype(dtype)
+    text_states_2 = text_states_2.astype(dtype)
+
+    b, c, ot, oh, ow = x.shape
+    pt, ph, pw = cfg.patch_size
+    tt, th, tw = ot // pt, oh // ph, ow // pw
+    img_len = tt * th * tw
+
+    vec = timestep_embedder(params["time_in"], t, dtype)
+    vec = vec + mlp_embedder(params["vector_in"], text_states_2)
+    if cfg.guidance_embed:
+        if guidance is None:
+            raise ValueError("guidance required for guidance-distilled model")
+        vec = vec + timestep_embedder(params["guidance_in"], guidance, dtype)
+
+    img = patchify(x, params["img_in"], cfg.patch_size)
+    if cfg.text_projection == "linear":
+        txt = linear(params["txt_in"]["linear_2"], jax.nn.silu(
+            linear(params["txt_in"]["linear_1"], text_states)))
+    elif cfg.text_projection == "single_refiner":
+        txt = token_refiner(params["txt_in"], text_states, t,
+                            text_mask if cfg.use_attention_mask else None, cfg)
+    else:
+        raise NotImplementedError(cfg.text_projection)
+
+    txt_len = txt.shape[1]
+    key_bias = padding_key_bias(text_mask, img_len)
+    freqs_cis = (freqs_cos, freqs_sin) if freqs_cos is not None else None
+
+    def dbl(carry, bp):
+        img, txt = carry
+        img, txt = double_block(bp, img, txt, vec, key_bias, freqs_cis, cfg)
+        return (img, txt), None
+
+    def sgl(xx, bp):
+        return single_block(bp, xx, vec, txt_len, key_bias, freqs_cis, cfg), None
+
+    if cfg.remat_blocks:
+        dbl = jax.checkpoint(dbl)
+        sgl = jax.checkpoint(sgl)
+
+    (img, txt), _ = jax.lax.scan(dbl, (img, txt), params["double_blocks"])
+    xx = jnp.concatenate([img, txt], axis=1)
+    xx, _ = jax.lax.scan(sgl, xx, params["single_blocks"])
+    img = xx[:, :img_len]
+
+    # final layer (reference: mlp_layers.py:114-118)
+    fl = params["final_layer"]
+    sh_sc = linear(fl["adaLN_modulation"], jax.nn.silu(vec))
+    shift, scale = jnp.split(sh_sc, 2, -1)
+    img = modulate(layer_norm(img), shift, scale)
+    img = linear(fl["linear"], img)
+
+    return unpatchify(img, tt, th, tw, cfg.out_channels, cfg.patch_size)
+
+
+# --------------------------------------------------------------------------
+# Initialization
+# --------------------------------------------------------------------------
+
+def _lin_init(key, cin, cout, dtype, bias=True, zero=False, std=None):
+    if zero:
+        w = jnp.zeros((cin, cout), dtype)
+    elif std is not None:
+        w = std * jax.random.normal(key, (cin, cout), dtype)
+    else:
+        bound = 1.0 / np.sqrt(cin)
+        w = jax.random.uniform(key, (cin, cout), dtype, -bound, bound)
+    p = {"kernel": w}
+    if bias:
+        p["bias"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def _ts_embedder_init(key, hidden, dtype, freq=256):
+    k1, k2 = jax.random.split(key)
+    return {"mlp_0": _lin_init(k1, freq, hidden, dtype, std=0.02),
+            "mlp_2": _lin_init(k2, hidden, hidden, dtype, std=0.02)}
+
+
+def _double_block_init(key, cfg: DiTConfig, dtype):
+    h, d, m = cfg.hidden_size, cfg.head_dim, cfg.mlp_hidden_dim
+    ks = iter(jax.random.split(key, 12))
+    def norm_p():
+        return {"scale": jnp.ones((d,), dtype)}
+    return {
+        "img_mod": _lin_init(next(ks), h, 6 * h, dtype, zero=True),
+        "txt_mod": _lin_init(next(ks), h, 6 * h, dtype, zero=True),
+        "img_attn_qkv": _lin_init(next(ks), h, 3 * h, dtype, bias=cfg.qkv_bias),
+        "txt_attn_qkv": _lin_init(next(ks), h, 3 * h, dtype, bias=cfg.qkv_bias),
+        "img_attn_q_norm": norm_p(), "img_attn_k_norm": norm_p(),
+        "txt_attn_q_norm": norm_p(), "txt_attn_k_norm": norm_p(),
+        "img_attn_proj": _lin_init(next(ks), h, h, dtype, bias=cfg.qkv_bias),
+        "txt_attn_proj": _lin_init(next(ks), h, h, dtype, bias=cfg.qkv_bias),
+        "img_mlp": {"fc1": _lin_init(next(ks), h, m, dtype),
+                    "fc2": _lin_init(next(ks), m, h, dtype)},
+        "txt_mlp": {"fc1": _lin_init(next(ks), h, m, dtype),
+                    "fc2": _lin_init(next(ks), m, h, dtype)},
+    }
+
+
+def _single_block_init(key, cfg: DiTConfig, dtype):
+    h, d, m = cfg.hidden_size, cfg.head_dim, cfg.mlp_hidden_dim
+    ks = iter(jax.random.split(key, 4))
+    return {
+        "linear1": _lin_init(next(ks), h, 3 * h + m, dtype),
+        "linear2": _lin_init(next(ks), h + m, h, dtype),
+        "q_norm": {"scale": jnp.ones((d,), dtype)},
+        "k_norm": {"scale": jnp.ones((d,), dtype)},
+        "modulation": _lin_init(next(ks), h, 3 * h, dtype, zero=True),
+    }
+
+
+def _refiner_init(key, cfg: DiTConfig, dtype, depth=2):
+    h, td = cfg.hidden_size, cfg.text_states_dim
+    m = int(h * 4.0)
+    ks = iter(jax.random.split(key, 6 + depth * 6))
+    blocks = []
+    for _ in range(depth):
+        blocks.append({
+            "norm1": {"scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)},
+            "self_attn_qkv": _lin_init(next(ks), h, 3 * h, dtype),
+            "self_attn_proj": _lin_init(next(ks), h, h, dtype),
+            "norm2": {"scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)},
+            "mlp": {"fc1": _lin_init(next(ks), h, m, dtype),
+                    "fc2": _lin_init(next(ks), m, h, dtype)},
+            "adaLN_modulation": _lin_init(next(ks), h, 2 * h, dtype, zero=True),
+        })
+    return {
+        "input_embedder": _lin_init(next(ks), td, h, dtype),
+        "t_embedder": _ts_embedder_init(next(ks), h, dtype),
+        "c_embedder": {"linear_1": _lin_init(next(ks), td, h, dtype),
+                       "linear_2": _lin_init(next(ks), h, h, dtype)},
+        "blocks": blocks,
+    }
+
+
+def init_dit_params(key, cfg: DiTConfig, dtype=jnp.float32) -> Params:
+    h = cfg.hidden_size
+    pt, ph, pw = cfg.patch_size
+    ks = iter(jax.random.split(key, 8 + cfg.mm_double_blocks_depth
+                               + cfg.mm_single_blocks_depth))
+    params: Params = {
+        "img_in": _lin_init(next(ks), cfg.in_channels * pt * ph * pw, h, dtype),
+        "time_in": _ts_embedder_init(next(ks), h, dtype),
+        "vector_in": {"in_layer": _lin_init(next(ks), cfg.text_states_dim_2, h, dtype),
+                      "out_layer": _lin_init(next(ks), h, h, dtype)},
+        "final_layer": {
+            "linear": _lin_init(next(ks), h, pt * ph * pw * cfg.out_channels,
+                                dtype, zero=True),
+            "adaLN_modulation": _lin_init(next(ks), h, 2 * h, dtype, zero=True),
+        },
+    }
+    if cfg.guidance_embed:
+        params["guidance_in"] = _ts_embedder_init(next(ks), h, dtype)
+    if cfg.text_projection == "single_refiner":
+        params["txt_in"] = _refiner_init(next(ks), cfg, dtype)
+    else:
+        params["txt_in"] = {"linear_1": _lin_init(next(ks), cfg.text_states_dim, h, dtype),
+                            "linear_2": _lin_init(next(ks), h, h, dtype)}
+
+    dbl = [_double_block_init(next(ks), cfg, dtype)
+           for _ in range(cfg.mm_double_blocks_depth)]
+    sgl = [_single_block_init(next(ks), cfg, dtype)
+           for _ in range(cfg.mm_single_blocks_depth)]
+    params["double_blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *dbl)
+    params["single_blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *sgl)
+    return params
+
+
+def params_count(params: Params) -> Dict[str, int]:
+    """(reference: models.py:712-735)."""
+    def count(tree):
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+    dbl = params["double_blocks"]
+    counts = {
+        "double": count({k: dbl[k] for k in
+                         ("img_attn_qkv", "img_attn_proj", "img_mlp",
+                          "txt_attn_qkv", "txt_attn_proj", "txt_mlp")}),
+        "single": count({k: params["single_blocks"][k]
+                         for k in ("linear1", "linear2")}),
+        "total": count(params),
+    }
+    counts["attn+mlp"] = counts["double"] + counts["single"]
+    return counts

@@ -1,0 +1,168 @@
+"""DiT backbone tests: shape contract, init-identity property, mask
+equivalence with the reference's varlen packing semantics, timestep-embedding
+oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hunyuanvideo_efficiency_tpu.models.dit import (
+    dit_forward,
+    init_dit_params,
+    params_count,
+    patchify,
+    timestep_embedding,
+    unpatchify,
+)
+from hunyuanvideo_efficiency_tpu.models.dit_config import (
+    HUNYUAN_VIDEO_CONFIG,
+    DiTConfig,
+)
+from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
+
+TINY = DiTConfig(
+    patch_size=(1, 2, 2),
+    in_channels=4,
+    out_channels=4,
+    hidden_size=64,
+    heads_num=4,
+    mlp_width_ratio=2.0,
+    mm_double_blocks_depth=2,
+    mm_single_blocks_depth=2,
+    rope_dim_list=(4, 6, 6),
+    text_states_dim=32,
+    text_states_dim_2=16,
+    guidance_embed=True,
+    attn_mode="sdpa",
+)
+
+B, T, H, W = 1, 3, 8, 8
+TXT_LEN = 8
+TT, TH, TW = T // 1, H // 2, W // 2
+IMG_LEN = TT * TH * TW
+
+
+@pytest.fixture(scope="module")
+def dit_params():
+    return init_dit_params(jax.random.PRNGKey(0), TINY)
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, 4, T, H, W)), jnp.float32)
+    t = jnp.array([500.0])
+    txt = jnp.asarray(rng.standard_normal((B, TXT_LEN, 32)), jnp.float32)
+    mask = jnp.asarray(np.array([[1, 1, 1, 1, 1, 0, 0, 0]]), jnp.int32)
+    txt2 = jnp.asarray(rng.standard_normal((B, 16)), jnp.float32)
+    cos, sin = get_nd_rotary_pos_embed(TINY.rope_dim_list, (TT, TH, TW),
+                                       theta=256.0)
+    guidance = jnp.array([6000.0])
+    return x, t, txt, mask, txt2, cos, sin, guidance
+
+
+FWD = jax.jit(dit_forward, static_argnames=("cfg",))
+
+
+class TestForward:
+    def test_output_shape(self, dit_params, inputs):
+        x, t, txt, mask, txt2, cos, sin, g = inputs
+        out = FWD(dit_params, x, t, txt, mask, txt2, cos, sin, g, cfg=TINY)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_zero_init_output_is_zero(self, dit_params, inputs):
+        # final_layer.linear is zero-init, so a fresh model predicts exactly 0
+        # (reference FinalLayer zero-init: mlp_layers.py:102-103).
+        x, t, txt, mask, txt2, cos, sin, g = inputs
+        out = FWD(dit_params, x, t, txt, mask, txt2, cos, sin, g, cfg=TINY)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def test_padding_text_cannot_affect_output(self, dit_params, inputs):
+        # Key-bias masking must make padded text positions inert — the
+        # TPU-side equivalent of the reference's varlen packing.
+        x, t, txt, mask, txt2, cos, sin, g = inputs
+        params = jax.tree.map(lambda v: v, dit_params)
+        # zero-init modulation gates make fresh blocks identity; randomize the
+        # gates and the final layer so tokens actually influence the output
+        keys = iter(jax.random.split(jax.random.PRNGKey(42), 8))
+        for name in ("img_mod", "txt_mod"):
+            params["double_blocks"][name]["kernel"] = 0.02 * jax.random.normal(
+                next(keys), params["double_blocks"][name]["kernel"].shape)
+        params["single_blocks"]["modulation"]["kernel"] = 0.02 * jax.random.normal(
+            next(keys), params["single_blocks"]["modulation"]["kernel"].shape)
+        params["final_layer"]["linear"]["kernel"] = 0.02 * jax.random.normal(
+            next(keys), params["final_layer"]["linear"]["kernel"].shape)
+        out1 = FWD(params, x, t, txt, mask, txt2, cos, sin, g, cfg=TINY)
+        txt_perturbed = np.asarray(txt).copy()
+        txt_perturbed[:, 5:] += 37.0  # only padded positions (mask==0)
+        out2 = FWD(params, x, t, jnp.asarray(txt_perturbed), mask, txt2,
+                   cos, sin, g, cfg=TINY)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   rtol=1e-4, atol=1e-4)
+        # sanity: perturbing a VALID position must change the output
+        txt_valid = np.asarray(txt).copy()
+        txt_valid[:, 2] += 1.0
+        out3 = FWD(params, x, t, jnp.asarray(txt_valid), mask, txt2,
+                   cos, sin, g, cfg=TINY)
+        assert np.abs(np.asarray(out1) - np.asarray(out3)).max() > 1e-6
+
+    def test_guidance_required(self, dit_params, inputs):
+        x, t, txt, mask, txt2, cos, sin, _ = inputs
+        with pytest.raises(ValueError):
+            dit_forward(dit_params, x, t, txt, mask, txt2, cos, sin, None,
+                        cfg=TINY)
+
+
+class TestPatchify:
+    def test_roundtrip_identity(self):
+        # patchify with identity "linear" (hidden == patch volume) followed by
+        # unpatchify must reproduce the input exactly.
+        rng = np.random.default_rng(1)
+        c, patch = 4, (1, 2, 2)
+        x = jnp.asarray(rng.standard_normal((2, c, 3, 4, 6)), jnp.float32)
+        dim = c * patch[0] * patch[1] * patch[2]
+        p = {"kernel": jnp.eye(dim), "bias": jnp.zeros((dim,))}
+        tokens = patchify(x, p, patch)
+        assert tokens.shape == (2, 3 * 2 * 3, dim)
+        # both patchify tokens and unpatchify input flatten as (c, pt, ph, pw)
+        back = unpatchify(tokens, 3, 2, 3, c, patch)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+class TestEmbedding:
+    def test_timestep_embedding_oracle(self):
+        import math
+
+        import torch
+
+        t = np.array([0.0, 1.0, 500.0, 999.0], np.float32)
+        got = np.asarray(timestep_embedding(jnp.asarray(t), 256))
+        half = 128
+        freqs = torch.exp(-math.log(10000) * torch.arange(half).float() / half)
+        args = torch.tensor(t)[:, None] * freqs[None]
+        want = torch.cat([args.cos(), args.sin()], dim=-1).numpy()
+        # fp32 cos/sin range reduction differs slightly between XLA and torch
+        # for large arguments (t up to 999); 2e-3 abs is the bitwise floor.
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+class TestConfig:
+    def test_registry(self):
+        cfg = HUNYUAN_VIDEO_CONFIG["HYVideo-T/2-cfgdistill"]
+        assert cfg.guidance_embed
+        assert cfg.hidden_size == 3072
+        assert cfg.heads_num == 24
+        assert cfg.head_dim == 128
+        assert sum(cfg.rope_dim_list) == 128
+        assert cfg.mm_double_blocks_depth == 20
+        assert cfg.mm_single_blocks_depth == 40
+
+    def test_params_count_structure(self, dit_params):
+        c = params_count(dit_params)
+        assert c["total"] > c["attn+mlp"] > 0
+        assert c["attn+mlp"] == c["double"] + c["single"]
+
+    def test_invalid_rope_dims(self):
+        with pytest.raises(ValueError):
+            DiTConfig(hidden_size=64, heads_num=4, rope_dim_list=(4, 4, 4))
