@@ -1,0 +1,156 @@
+"""Scheduler + pipeline tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hunyuanvideo_efficiency_tpu.diffusion.pipeline import (
+    HunyuanVideoPipeline,
+    rescale_noise_cfg,
+)
+from hunyuanvideo_efficiency_tpu.diffusion.scheduler import (
+    FlowMatchDiscreteScheduler,
+    euler_step,
+    get_sigmas,
+)
+from hunyuanvideo_efficiency_tpu.models.dit import init_dit_params
+from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+from hunyuanvideo_efficiency_tpu.models.vae import (
+    AutoencoderKLCausal3D,
+    init_vae_params,
+)
+from hunyuanvideo_efficiency_tpu.models.vae_config import VAEConfig
+from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
+
+
+class TestScheduler:
+    def test_sigmas_sd3_shift_oracle(self):
+        n, shift = 50, 7.0
+        sigmas, timesteps = get_sigmas(n, shift=shift, reverse=True)
+        lin = np.linspace(1, 0, n + 1)
+        want = shift * lin / (1 + (shift - 1) * lin)
+        np.testing.assert_allclose(sigmas, want, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(timesteps, want[:-1] * 1000, rtol=1e-6)
+        assert sigmas[0] == 1.0 and abs(sigmas[-1]) < 1e-7
+
+    def test_reverse_false_flips(self):
+        sigmas, _ = get_sigmas(10, shift=1.0, reverse=False)
+        assert sigmas[0] == 0.0 and sigmas[-1] == 1.0
+
+    def test_euler_step_fp32(self):
+        x = jnp.ones((2, 3), jnp.bfloat16)
+        v = jnp.full((2, 3), 0.5, jnp.bfloat16)
+        out = euler_step(x, v, 1.0, 0.9)
+        assert out.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out), 1.0 - 0.05, rtol=1e-6)
+
+    def test_stateful_wrapper_matches_functional(self):
+        sch = FlowMatchDiscreteScheduler(shift=7.0, reverse=True)
+        sch.set_timesteps(10)
+        x = jnp.ones((1, 4))
+        v = jnp.full((1, 4), 2.0)
+        (out,) = sch.step(v, sch.timesteps[0], x)
+        want = euler_step(x, v, float(sch.sigmas[0]), float(sch.sigmas[1]))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want))
+        assert sch.step_index == 1
+
+    def test_rescale_noise_cfg(self):
+        rng = np.random.default_rng(0)
+        cfgv = jnp.asarray(rng.standard_normal((2, 3, 4)) * 3, jnp.float32)
+        text = jnp.asarray(rng.standard_normal((2, 3, 4)), jnp.float32)
+        out = rescale_noise_cfg(cfgv, text, 1.0)
+        np.testing.assert_allclose(
+            np.asarray(jnp.std(out, axis=(1, 2))),
+            np.asarray(jnp.std(text, axis=(1, 2))), rtol=1e-5)
+
+
+TINY_DIT = DiTConfig(
+    patch_size=(1, 2, 2), in_channels=4, out_channels=4, hidden_size=64,
+    heads_num=4, mlp_width_ratio=2.0, mm_double_blocks_depth=1,
+    mm_single_blocks_depth=1, rope_dim_list=(4, 6, 6), text_states_dim=32,
+    text_states_dim_2=16, guidance_embed=True, attn_mode="sdpa")
+
+TINY_VAE = VAEConfig(
+    latent_channels=4, block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+    norm_num_groups=4, sample_size=32, sample_tsize=16, scaling_factor=0.476986)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    vae = AutoencoderKLCausal3D(
+        TINY_VAE, init_vae_params(jax.random.PRNGKey(1), TINY_VAE))
+    dit_params = init_dit_params(jax.random.PRNGKey(2), TINY_DIT)
+    sch = FlowMatchDiscreteScheduler(shift=7.0, reverse=True)
+    return HunyuanVideoPipeline(
+        vae=vae, text_encoder=None, text_encoder_2=None,
+        transformer_params=dit_params, transformer_cfg=TINY_DIT, scheduler=sch)
+
+
+def _embeds(batch, txt_len=8):
+    rng = np.random.default_rng(5)
+    pe = jnp.asarray(rng.standard_normal((batch, txt_len, 32)), jnp.float32)
+    mask = jnp.ones((batch, txt_len), jnp.int32)
+    pe2 = jnp.asarray(rng.standard_normal((batch, 16)), jnp.float32)
+    return pe, mask, pe2
+
+
+class TestPipeline:
+    H = W = 32
+    F = 9
+
+    def _freqs(self):
+        # latent grid (T', H'/pt, W'/pw) = (3, 32/8/2, 32/8/2) = (3, 2, 2)
+        return get_nd_rotary_pos_embed(TINY_DIT.rope_dim_list, (3, 2, 2),
+                                       theta=256.0)
+
+    def test_smoke_no_cfg(self, pipeline):
+        pe, mask, pe2 = _embeds(1)
+        out = pipeline(
+            height=self.H, width=self.W, video_length=self.F,
+            num_inference_steps=2, guidance_scale=1.0,
+            embedded_guidance_scale=6.0, key=jax.random.PRNGKey(0),
+            prompt_embeds=pe, prompt_mask=mask, prompt_embeds_2=pe2,
+            freqs_cis=self._freqs())
+        v = out.videos
+        assert v.shape == (1, 3, self.F, self.H, self.W)
+        assert v.min() >= 0.0 and v.max() <= 1.0
+        assert np.isfinite(v).all()
+
+    def test_cfg_path(self, pipeline):
+        pe, mask, pe2 = _embeds(2)  # [neg, pos]
+        out = pipeline(
+            height=self.H, width=self.W, video_length=self.F,
+            num_inference_steps=2, guidance_scale=2.0, guidance_rescale=0.5,
+            embedded_guidance_scale=6.0, key=jax.random.PRNGKey(0),
+            prompt_embeds=pe, prompt_mask=mask, prompt_embeds_2=pe2,
+            freqs_cis=self._freqs())
+        assert out.videos.shape == (1, 3, self.F, self.H, self.W)
+
+    def test_latent_output(self, pipeline):
+        pe, mask, pe2 = _embeds(1)
+        out = pipeline(
+            height=self.H, width=self.W, video_length=self.F,
+            num_inference_steps=2, guidance_scale=1.0,
+            embedded_guidance_scale=6.0, key=jax.random.PRNGKey(0),
+            prompt_embeds=pe, prompt_mask=mask, prompt_embeds_2=pe2,
+            freqs_cis=self._freqs(), output_type="latent")
+        assert out.videos.shape == (1, 4, 3, 4, 4)
+
+    def test_deterministic_given_key(self, pipeline):
+        pe, mask, pe2 = _embeds(1)
+        kwargs = dict(height=self.H, width=self.W, video_length=self.F,
+                      num_inference_steps=2, guidance_scale=1.0,
+                      embedded_guidance_scale=6.0,
+                      prompt_embeds=pe, prompt_mask=mask, prompt_embeds_2=pe2,
+                      freqs_cis=self._freqs(), output_type="latent")
+        a = pipeline(key=jax.random.PRNGKey(7), **kwargs).videos
+        b = pipeline(key=jax.random.PRNGKey(7), **kwargs).videos
+        c = pipeline(key=jax.random.PRNGKey(8), **kwargs).videos
+        np.testing.assert_array_equal(a, b)
+        assert np.abs(a - c).max() > 0
+
+    def test_bad_video_length_rejected(self, pipeline):
+        with pytest.raises(ValueError):
+            HunyuanVideoPipeline.check_inputs(32, 32, 10)
+        with pytest.raises(ValueError):
+            HunyuanVideoPipeline.check_inputs(33, 32, 9)
