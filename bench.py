@@ -1,0 +1,176 @@
+"""Benchmark: sec/denoise-step of the flagship 13B MM-DiT on one TPU chip.
+
+Measures one full denoise-step forward (BASELINE.json config 2:
+"Single DiT denoise step, 129f x 544x960 latent, bf16, one chip") with the
+complete HYVideo-T/2-cfgdistill architecture — hidden 3072, 24 heads,
+20 double + 40 single blocks, token refiner, 3-axis RoPE, Pallas flash
+attention — fp8(E4M3) weight storage with bf16 compute (the 13B bf16 weights
+alone exceed one v5e's 16 GB HBM; the reference's fp8 mode is the same trade,
+hyvideo/modules/fp8_optimization.py).
+
+vs_baseline: the reference's derived 38.1 s/step is at 720p x 129f on one
+80GB-class GPU (README.md:408-431). We scale that number by the matmul+attn
+FLOP ratio between the two configs (both runs are compute-bound) to get the
+reference-equivalent time at our benchmarked shape, then report
+ref_time / our_time (>1 = faster than the reference per step).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def model_flops(n_tokens: int, hidden: int, depth: int = 60) -> float:
+    """Matmul+attention FLOPs for one DiT forward. Both double and single
+    blocks cost ~24*N*h^2 (qkv/proj/mlp or fused linear1/linear2) + 4*N^2*h
+    (QK^T and PV) — see SURVEY.md §2.1 shape contract."""
+    return depth * (24.0 * n_tokens * hidden ** 2 + 4.0 * n_tokens ** 2 * hidden)
+
+
+def build_fp8_params(cfg, dtype):
+    """Flagship param tree with block linears stored fp8 (per-block scales).
+
+    Weights are random (benchmark measures speed, not quality); built one
+    block at a time and stacked in fp8 so peak host/device memory stays low.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hunyuanvideo_efficiency_tpu.models.dit import (
+        _double_block_init, _refiner_init, _single_block_init,
+        _ts_embedder_init, _lin_init)
+    from hunyuanvideo_efficiency_tpu.ops.quantization import (
+        quantize_tensor_fp8)
+
+    h = cfg.hidden_size
+    pt, ph, pw = cfg.patch_size
+    key = jax.random.PRNGKey(0)
+    ks = iter(jax.random.split(key, 16))
+
+    def quant_block(p):
+        if isinstance(p, dict):
+            if "kernel" in p and p["kernel"].ndim >= 2:
+                rest = {k: v for k, v in p.items() if k != "kernel"}
+                return {**rest, **quantize_tensor_fp8(p["kernel"], False)}
+            return {k: quant_block(v) for k, v in p.items()}
+        return p
+
+    @jax.jit
+    def one_double(k):
+        return quant_block(_double_block_init(k, cfg, dtype))
+
+    @jax.jit
+    def one_single(k):
+        return quant_block(_single_block_init(k, cfg, dtype))
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=0)
+    def insert(stacked, i, block):
+        return jax.tree.map(lambda s, b: s.at[i].set(b), stacked, block)
+
+    def build_stack(one_fn, keys):
+        """Incremental stacking with buffer donation: peak device memory is
+        the final stacked tree + ONE block (13B bf16 would not fit)."""
+        proto = jax.eval_shape(one_fn, keys[0])
+        stacked = jax.tree.map(
+            lambda s: jnp.zeros((len(keys),) + s.shape, s.dtype), proto)
+        for i, k in enumerate(keys):
+            stacked = insert(stacked, i, one_fn(k))
+        return jax.block_until_ready(stacked)
+
+    dks = jax.random.split(next(ks), cfg.mm_double_blocks_depth)
+    sks = jax.random.split(next(ks), cfg.mm_single_blocks_depth)
+
+    params = {
+        "img_in": _lin_init(next(ks), cfg.in_channels * pt * ph * pw, h, dtype),
+        "time_in": _ts_embedder_init(next(ks), h, dtype),
+        "vector_in": {
+            "in_layer": _lin_init(next(ks), cfg.text_states_dim_2, h, dtype),
+            "out_layer": _lin_init(next(ks), h, h, dtype)},
+        "guidance_in": _ts_embedder_init(next(ks), h, dtype),
+        "txt_in": _refiner_init(next(ks), cfg, dtype),
+        "final_layer": {
+            "linear": _lin_init(next(ks), h, pt * ph * pw * cfg.out_channels,
+                                dtype, zero=True),
+            "adaLN_modulation": _lin_init(next(ks), h, 2 * h, dtype,
+                                          zero=True)},
+        "double_blocks": build_stack(one_double, dks),
+        "single_blocks": build_stack(one_single, sks),
+    }
+    return params
+
+
+def bench_step(height, width, frames, repeats=3):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from hunyuanvideo_efficiency_tpu.models.dit import dit_forward
+    from hunyuanvideo_efficiency_tpu.models.dit_config import load_dit_config
+    from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
+
+    cfg = load_dit_config("HYVideo-T/2-cfgdistill", attn_mode="flash")
+    params = build_fp8_params(cfg, jnp.bfloat16)
+
+    t_lat = (frames - 1) // 4 + 1
+    h_lat, w_lat = height // 8, width // 8
+    tt, th, tw = t_lat, h_lat // 2, w_lat // 2
+    n_img = tt * th * tw
+    lt = 256
+    cos, sin = get_nd_rotary_pos_embed(
+        cfg.rope_dim_list, (tt, th, tw), theta=cfg.rope_theta)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    x = jax.random.normal(ks[0], (1, 16, t_lat, h_lat, w_lat), jnp.bfloat16)
+    t = jnp.full((1,), 500.0, jnp.float32)
+    pe = jax.random.normal(ks[1], (1, lt, cfg.text_states_dim), jnp.bfloat16)
+    mask = jnp.ones((1, lt), jnp.int32)
+    pe2 = jax.random.normal(ks[2], (1, cfg.text_states_dim_2), jnp.bfloat16)
+    guidance = jnp.full((1,), 6000.0, jnp.float32)
+
+    fwd = jax.jit(partial(dit_forward, cfg=cfg))
+    out = jax.block_until_ready(
+        fwd(params, x, t, pe, mask, pe2, cos, sin, guidance))  # compile+warm
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            fwd(params, x, t, pe, mask, pe2, cos, sin, guidance))
+        times.append(time.perf_counter() - t0)
+    return min(times), n_img + lt, cfg.hidden_size
+
+
+def main():
+    # Reference derived baseline: 38.1 s/step at 720p x 129f (1 GPU),
+    # img tokens 33*45*80 = 118800 + 256 text.
+    ref_sec = 38.1
+    ref_tokens = 118800 + 256
+
+    attempts = [(544, 960, 129), (544, 960, 65), (384, 640, 129)]
+    last_err = None
+    for (hh, ww, ff) in attempts:
+        try:
+            sec, n_tok, hidden = bench_step(hh, ww, ff)
+            ref_equiv = ref_sec * (model_flops(n_tok, hidden)
+                                   / model_flops(ref_tokens, hidden))
+            print(json.dumps({
+                "metric": f"sec/denoise-step 13B fp8 {ww}x{hh}x{ff}f 1chip",
+                "value": round(sec, 3),
+                "unit": "s",
+                "vs_baseline": round(ref_equiv / sec, 3),
+            }))
+            return
+        except Exception as e:  # OOM etc. — try a smaller config
+            last_err = e
+            print(f"bench config {ww}x{hh}x{ff} failed: {e}", file=sys.stderr)
+    raise SystemExit(f"all bench configs failed: {last_err}")
+
+
+if __name__ == "__main__":
+    main()

@@ -144,6 +144,11 @@ class HunyuanVideoPipeline:
             prompt, data_type=data_type, num_videos=num_videos_per_prompt)
         pe2, _ = self.text_encoder_2.encode_prompt(
             prompt, data_type=data_type, num_videos=num_videos_per_prompt)
+        if isinstance(prompt, (list, tuple)) and isinstance(
+                negative_prompt, str):
+            # one negative per prompt (reference: diffusers replicates a
+            # single negative_prompt across the batch, :238-449)
+            negative_prompt = [negative_prompt] * len(prompt)
         if do_cfg:
             npe, nmask = self.text_encoder.encode_prompt(
                 negative_prompt, data_type=data_type,

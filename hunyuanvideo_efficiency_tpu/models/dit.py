@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import attention, padding_key_bias, sdpa_attention
+from ..ops.attention import joint_attention, sdpa_attention, text_key_bias
 from ..ops.norms import layer_norm, rms_norm
 from ..ops.rope import apply_rotary_emb
 from .dit_config import DiTConfig
@@ -53,7 +53,12 @@ ACT = {
 # --------------------------------------------------------------------------
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["kernel"].astype(x.dtype)
+    w = p["kernel"]
+    if "scale" in p:  # fp8 storage (ops/quantization.py): dequant fuses
+        w = (w.astype(jnp.float32) * p["scale"]).astype(x.dtype)
+    else:
+        w = w.astype(x.dtype)
+    y = x @ w
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -158,7 +163,7 @@ def token_refiner(p: Params, x: jnp.ndarray, t: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
-                 vec: jnp.ndarray, key_bias: jnp.ndarray,
+                 vec: jnp.ndarray, txt_bias: jnp.ndarray,
                  freqs_cis, cfg: DiTConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(reference: models.py:132-252)."""
     b, img_len, h = img.shape
@@ -184,11 +189,10 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
     txt_q, txt_k = _qk_norm(p["txt_attn_q_norm"], p["txt_attn_k_norm"],
                             txt_q, txt_k, cfg)
 
-    q = jnp.concatenate([img_q, txt_q], axis=1)
-    k = jnp.concatenate([img_k, txt_k], axis=1)
-    v = jnp.concatenate([img_v, txt_v], axis=1)
-    attn = attention(q, k, v, mode=cfg.attn_mode, key_bias=key_bias)
-    img_attn, txt_attn = attn[:, :img_len], attn[:, img_len:]
+    img_attn, txt_attn = joint_attention(
+        img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
+        mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
+        ring_axis=cfg.ring_axis)
 
     img = img + apply_gate(linear(p["img_attn_proj"], img_attn), i_gate1)
     img = img + apply_gate(
@@ -202,7 +206,7 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
 
 
 def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
-                 txt_len: int, key_bias: jnp.ndarray, freqs_cis,
+                 txt_len: int, txt_bias: jnp.ndarray, freqs_cis,
                  cfg: DiTConfig) -> jnp.ndarray:
     """Fused-linear parallel attn+MLP block (reference: models.py:326-393)."""
     b, l, h = x.shape
@@ -214,13 +218,16 @@ def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
     qkv, mlp_h = jnp.split(qkv_mlp, [3 * cfg.hidden_size], axis=-1)
     q, k, v = [u.reshape(b, l, heads, d) for u in jnp.split(qkv, 3, -1)]
     q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k, cfg)
+    img_q, txt_q = q[:, :-txt_len], q[:, -txt_len:]
+    img_k, txt_k = k[:, :-txt_len], k[:, -txt_len:]
+    img_v, txt_v = v[:, :-txt_len], v[:, -txt_len:]
     if freqs_cis is not None:
-        img_q, txt_q = q[:, :-txt_len], q[:, -txt_len:]
-        img_k, txt_k = k[:, :-txt_len], k[:, -txt_len:]
         img_q, img_k = apply_rotary_emb(img_q, img_k, freqs_cis)
-        q = jnp.concatenate([img_q, txt_q], axis=1)
-        k = jnp.concatenate([img_k, txt_k], axis=1)
-    attn = attention(q, k, v, mode=cfg.attn_mode, key_bias=key_bias)
+    img_attn, txt_attn = joint_attention(
+        img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
+        mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
+        ring_axis=cfg.ring_axis)
+    attn = jnp.concatenate([img_attn, txt_attn], axis=1)
     out = linear(p["linear2"],
                  jnp.concatenate([attn, ACT[cfg.mlp_act_type](mlp_h)], axis=-1))
     return x + apply_gate(out, gate)
@@ -299,16 +306,16 @@ def dit_forward(
         raise NotImplementedError(cfg.text_projection)
 
     txt_len = txt.shape[1]
-    key_bias = padding_key_bias(text_mask, img_len)
+    txt_bias = text_key_bias(text_mask) if text_mask is not None else None
     freqs_cis = (freqs_cos, freqs_sin) if freqs_cos is not None else None
 
     def dbl(carry, bp):
         img, txt = carry
-        img, txt = double_block(bp, img, txt, vec, key_bias, freqs_cis, cfg)
+        img, txt = double_block(bp, img, txt, vec, txt_bias, freqs_cis, cfg)
         return (img, txt), None
 
     def sgl(xx, bp):
-        return single_block(bp, xx, vec, txt_len, key_bias, freqs_cis, cfg), None
+        return single_block(bp, xx, vec, txt_len, txt_bias, freqs_cis, cfg), None
 
     if cfg.remat_blocks:
         dbl = jax.checkpoint(dbl)

@@ -2,7 +2,7 @@
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -30,6 +30,10 @@ class DiTConfig:
     # remat ("gradient checkpointing") of each scanned block; harmless at
     # inference, required for training-mode memory
     remat_blocks: bool = False
+    # Sequence-parallel mesh axis names; set when the forward runs inside
+    # shard_map (see parallel/sp_dit.py). None = single-device attention.
+    ulysses_axis: Optional[str] = None
+    ring_axis: Optional[str] = None
 
     @property
     def head_dim(self) -> int:

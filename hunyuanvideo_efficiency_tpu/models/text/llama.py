@@ -1,0 +1,215 @@
+"""Llama-3 decoder as a text encoder (llava-llama-3-8B language tower).
+
+TPU-native replacement for the reference's HF `AutoModel` LLM text encoder
+(reference: hyvideo/text_encoder/__init__.py:32-41, 300-316). The DiT
+consumes `hidden_states[-(skip+1)]` with skip=2 — i.e. the output of layer
+`num_layers - skip` counted WITHOUT the final RMSNorm (HF collects the
+pre-layer hidden state of every layer plus one post-norm entry). We therefore
+simply run `num_layers - skip` layers and stop — the remaining layers are
+never computed (the reference wastes two full layers' FLOPs to then discard
+them).
+
+Architecture (Llama-3-8B): RMSNorm pre-norm, GQA (32 q / 8 kv heads,
+head_dim 128), non-interleaved RoPE (rotate-half over split halves,
+theta 500000), SwiGLU MLP. Layers run under one `lax.scan` over stacked
+parameters (constant compile time in depth).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.norms import rms_norm
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128320
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    rope_theta: float = 500000.0
+    rms_norm_eps: float = 1e-5
+    max_position_embeddings: int = 8192
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+LLAMA3_8B = LlamaConfig()
+
+
+def _rope_tables(cfg: LlamaConfig, seq_len: int):
+    """HF-style cos/sin [L, head_dim]: angles duplicated by concatenation
+    (NOT interleaved — differs from the DiT's video RoPE)."""
+    d = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta
+                 ** (np.arange(0, d, 2, dtype=np.float32) / d))
+    t = np.arange(seq_len, dtype=np.float32)
+    freqs = np.outer(t, inv)  # [L, d/2]
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    return jnp.asarray(np.cos(emb)), jnp.asarray(np.sin(emb))
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def _apply_rope(q, k, cos, sin):
+    # q/k: [B, L, H, D]; cos/sin: [L, D]
+    cos = cos[None, :, None, :]
+    sin = sin[None, :, None, :]
+    q = q * cos + _rotate_half(q) * sin
+    k = k * cos + _rotate_half(k) * sin
+    return q, k
+
+
+def _attn(p: Params, x: jnp.ndarray, bias: jnp.ndarray, cos, sin,
+          cfg: LlamaConfig) -> jnp.ndarray:
+    b, l, _ = x.shape
+    hq, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    q = (x @ p["q_proj"]["kernel"].astype(x.dtype)).reshape(b, l, hq, d)
+    k = (x @ p["k_proj"]["kernel"].astype(x.dtype)).reshape(b, l, hkv, d)
+    v = (x @ p["v_proj"]["kernel"].astype(x.dtype)).reshape(b, l, hkv, d)
+    qf, kf = _apply_rope(q.astype(jnp.float32), k.astype(jnp.float32),
+                         cos, sin)
+    rep = hq // hkv
+    kf = jnp.repeat(kf, rep, axis=2)
+    vf = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qf * (d ** -0.5), kf)
+    scores = scores + bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(vf.dtype),
+                     vf.astype(x.dtype))
+    out = out.reshape(b, l, hq * d)
+    return out @ p["o_proj"]["kernel"].astype(x.dtype)
+
+
+def _mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    g = x @ p["gate_proj"]["kernel"].astype(x.dtype)
+    u = x @ p["up_proj"]["kernel"].astype(x.dtype)
+    return (jax.nn.silu(g) * u) @ p["down_proj"]["kernel"].astype(x.dtype)
+
+
+def _layer(p: Params, x: jnp.ndarray, bias, cos, sin, cfg: LlamaConfig):
+    h = rms_norm(x, p["input_layernorm"]["scale"], eps=cfg.rms_norm_eps)
+    x = x + _attn(p["self_attn"], h, bias, cos, sin, cfg)
+    h = rms_norm(x, p["post_attention_layernorm"]["scale"],
+                 eps=cfg.rms_norm_eps)
+    return x + _mlp(p["mlp"], h)
+
+
+def llama_encode(
+    params: Params,
+    input_ids: jnp.ndarray,      # [B, L] int32
+    attention_mask: Optional[jnp.ndarray],  # [B, L] 1=valid
+    cfg: LlamaConfig,
+    hidden_state_skip_layer: int = 2,
+    apply_final_norm: bool = False,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Returns hidden states [B, L, hidden] at layer
+    num_hidden_layers - skip (the reference's hidden_states[-(skip+1)],
+    text_encoder/__init__.py:311-316)."""
+    b, l = input_ids.shape
+    x = params["embed_tokens"]["embedding"][input_ids].astype(dtype)
+
+    causal = jnp.tril(jnp.ones((l, l), jnp.bool_))
+    if attention_mask is not None:
+        valid = attention_mask.astype(jnp.bool_)[:, None, None, :]
+        keep = causal[None, None] & valid
+    else:
+        keep = causal[None, None]
+    bias = jnp.where(keep, 0.0, -1e30).astype(jnp.float32)
+
+    cos, sin = _rope_tables(cfg, l)
+
+    n_run = cfg.num_hidden_layers - max(hidden_state_skip_layer, 0)
+    layers = jax.tree.map(lambda a: a[:n_run], params["layers"])
+
+    def body(h, lp):
+        return _layer(lp, h, bias, cos, sin, cfg), None
+
+    x, _ = jax.lax.scan(body, x, layers)
+    if hidden_state_skip_layer == 0 or apply_final_norm:
+        x = rms_norm(x, params["norm"]["scale"], eps=cfg.rms_norm_eps)
+    return x
+
+
+def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    """Random params (tests / benchmarks)."""
+    h, m = cfg.hidden_size, cfg.intermediate_size
+    d, hq, hkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+    ks = iter(jax.random.split(key, 3 + cfg.num_hidden_layers * 7))
+
+    def lin(k, cin, cout):
+        return {"kernel": jax.random.normal(k, (cin, cout), dtype)
+                / np.sqrt(cin)}
+
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        layers.append({
+            "input_layernorm": {"scale": jnp.ones((h,), dtype)},
+            "self_attn": {
+                "q_proj": lin(next(ks), h, hq * d),
+                "k_proj": lin(next(ks), h, hkv * d),
+                "v_proj": lin(next(ks), h, hkv * d),
+                "o_proj": lin(next(ks), hq * d, h)},
+            "post_attention_layernorm": {"scale": jnp.ones((h,), dtype)},
+            "mlp": {"gate_proj": lin(next(ks), h, m),
+                    "up_proj": lin(next(ks), h, m),
+                    "down_proj": lin(next(ks), m, h)},
+        })
+    return {
+        "embed_tokens": {"embedding": 0.02 * jax.random.normal(
+            next(ks), (cfg.vocab_size, h), dtype)},
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "norm": {"scale": jnp.ones((h,), dtype)},
+    }
+
+
+def convert_llama_state_dict(sd: Dict[str, np.ndarray], cfg: LlamaConfig
+                             ) -> Params:
+    """HF LlamaModel state dict (`model.` prefix optional) -> param tree."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items()
+              if k.startswith("model.")}
+    sd = dict(sd)
+
+    def lin(name):
+        return {"kernel": np.ascontiguousarray(sd.pop(f"{name}.weight").T)}
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        b = f"layers.{i}"
+        layers.append({
+            "input_layernorm": {
+                "scale": sd.pop(f"{b}.input_layernorm.weight")},
+            "self_attn": {
+                "q_proj": lin(f"{b}.self_attn.q_proj"),
+                "k_proj": lin(f"{b}.self_attn.k_proj"),
+                "v_proj": lin(f"{b}.self_attn.v_proj"),
+                "o_proj": lin(f"{b}.self_attn.o_proj")},
+            "post_attention_layernorm": {
+                "scale": sd.pop(f"{b}.post_attention_layernorm.weight")},
+            "mlp": {"gate_proj": lin(f"{b}.mlp.gate_proj"),
+                    "up_proj": lin(f"{b}.mlp.up_proj"),
+                    "down_proj": lin(f"{b}.mlp.down_proj")},
+        })
+    return {
+        "embed_tokens": {"embedding": sd.pop("embed_tokens.weight")},
+        "layers": jax.tree.map(lambda *xs: np.stack(xs), *layers),
+        "norm": {"scale": sd.pop("norm.weight")},
+    }

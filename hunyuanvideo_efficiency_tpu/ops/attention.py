@@ -173,6 +173,55 @@ def frame_causal_block_bias(n_hw: int) -> Callable[[jnp.ndarray, jnp.ndarray], j
     return fn
 
 
+def text_key_bias(text_mask: jnp.ndarray) -> jnp.ndarray:
+    """Additive key bias [B, 1, 1, text_len] over text keys only."""
+    valid = text_mask.astype(jnp.bool_)
+    bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+    return bias[:, None, None, :]
+
+
+def joint_attention(
+    img_q: jnp.ndarray,  # [B, S_img(_loc), H, D]
+    img_k: jnp.ndarray,
+    img_v: jnp.ndarray,
+    txt_q: jnp.ndarray,  # [B, L_txt, H, D]
+    txt_k: jnp.ndarray,
+    txt_v: jnp.ndarray,
+    txt_bias: Optional[jnp.ndarray],  # [B, 1, 1, L_txt]
+    mode: str = "auto",
+    ulysses_axis: Optional[str] = None,
+    ring_axis: Optional[str] = None,
+    scale: Optional[float] = None,
+):
+    """Joint attention over [img | txt] tokens; returns (img_out, txt_out)
+    each [B, S, H*D].
+
+    Single-device: concatenates and dispatches to `attention`. With axis
+    names (inside shard_map): Ulysses x ring sequence parallelism — the
+    TPU-native analog of the reference's parallel_attention
+    (reference: hyvideo/modules/attenion.py:159-212).
+    """
+    if ulysses_axis or ring_axis:
+        from ..parallel.sp_attention import usp_joint_attention
+
+        return usp_joint_attention(
+            img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
+            ulysses_axis=ulysses_axis, ring_axis=ring_axis, scale=scale)
+    img_len = img_q.shape[1]
+    q = jnp.concatenate([img_q, txt_q], axis=1)
+    k = jnp.concatenate([img_k, txt_k], axis=1)
+    v = jnp.concatenate([img_v, txt_v], axis=1)
+    if txt_bias is not None:
+        b = txt_bias.shape[0]
+        key_bias = jnp.concatenate(
+            [jnp.zeros((b, 1, 1, img_len), jnp.float32),
+             txt_bias.astype(jnp.float32)], axis=-1)
+    else:
+        key_bias = None
+    out = attention(q, k, v, mode=mode, key_bias=key_bias, scale=scale)
+    return out[:, :img_len], out[:, img_len:]
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

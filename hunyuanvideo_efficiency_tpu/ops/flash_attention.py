@@ -1,0 +1,166 @@
+"""Pallas TPU flash attention for the MM-DiT joint img+txt sequence.
+
+Replaces the reference's FlashAttention-2 CUDA varlen path
+(reference: hyvideo/modules/attenion.py:8-15, 107-120) with a TPU-native
+online-softmax kernel:
+
+* Static [img_len + txt_len] layout with an additive *key-padding bias*
+  instead of cu_seqlens varlen packing (equivalence argued in
+  ops/attention.py module docstring).
+* Grid (batch, heads, q_blocks, k_blocks); the k dimension is innermost and
+  iterated sequentially on the TPU, carrying the running (max, denom, acc)
+  in VMEM scratch — the classic flash recurrence.
+* QK^T and P·V both land on the MXU via `jnp.dot(..., preferred_element_type
+  =float32)`; softmax bookkeeping runs on the VPU in fp32.
+* Sequence lengths are padded to the block size; padded keys are masked via
+  the key bias, padded query rows are sliced off on return.
+
+On CPU backends the kernel runs in Pallas interpreter mode so the exact same
+code path is testable without a TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *, scale: float, nk: int):
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale          # [bq, d]
+    k = k_ref[0, 0].astype(jnp.float32)                  # [bk, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [bq, bk]
+    s = s + kb_ref[0, 0:1, :]                            # key-padding bias
+
+    m_prev = m_scr[...]                                  # [bq, 128]
+    l_prev = l_scr[...]
+    s_max = jnp.max(s, axis=-1, keepdims=True)           # [bq, 1]
+    m_new = jnp.maximum(m_prev, s_max)                   # lanes replicated
+    p = jnp.exp(s - m_new[:, :1])                        # [bq, bk]
+    corr = jnp.exp(m_prev - m_new)                       # [bq, 128]
+    l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+    v = v_ref[0, 0].astype(jnp.float32)
+    pv = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [bq, d]
+    m_scr[...] = m_new
+    l_scr[...] = l_new
+    acc_scr[...] = acc_scr[...] * corr[:, :1] + pv
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        denom = jnp.maximum(l_scr[...][:, :1], 1e-37)
+        o_ref[0, 0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _flash_bhsd(q, k, v, kb, scale: float, block_q: int, block_k: int,
+                interpret: bool):
+    """q/k/v [B, H, S, D] (padded), kb [B, Sk] fp32 -> out [B, H, Sq, D]."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    nq = sq // block_q
+    nk = sk // block_k
+
+    grid = (b, h, nq, nk)
+    kernel = functools.partial(_flash_kernel, scale=scale, nk=nk)
+    flops = 4 * b * h * sq * sk * d
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # kb is [B, 8, Sk] (sublane-broadcast) to satisfy TPU tiling.
+            pl.BlockSpec((1, 8, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=(q.size + k.size + v.size) * 2,
+            transcendentals=b * h * sq * sk),
+        interpret=interpret,
+    )(kb, q, k, v)
+    return out
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_q: int = 1024,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """Flash attention; q/k/v [B, S, H, D] -> [B, Sq, H*D].
+
+    key_bias: [B, 1, 1, Sk] additive bias (0 for valid keys, -inf for
+    padding), as produced by `padding_key_bias`.
+    """
+    b, sq, hh, d = q.shape
+    sk = k.shape[1]
+    scale = scale if scale is not None else d ** -0.5
+    interpret = jax.default_backend() != "tpu"
+
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(sk, 128))
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+
+    qt = jnp.moveaxis(q, 2, 1)  # [B, H, S, D]
+    kt = jnp.moveaxis(k, 2, 1)
+    vt = jnp.moveaxis(v, 2, 1)
+    if sq_p != sq:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+
+    if key_bias is not None:
+        kb = key_bias.reshape(b, sk).astype(jnp.float32)
+    else:
+        kb = jnp.zeros((b, sk), jnp.float32)
+    if sk_p != sk:
+        kb = jnp.pad(kb, ((0, 0), (0, sk_p - sk)), constant_values=NEG_INF)
+    kb = jnp.broadcast_to(kb[:, None, :], (b, 8, sk_p))
+
+    out = _flash_bhsd(qt, kt, vt, kb, float(scale), block_q, block_k,
+                      interpret)
+    out = jnp.moveaxis(out[:, :, :sq], 1, 2)  # [B, Sq, H, D]
+    return out.reshape(b, sq, hh * d)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -1,0 +1,79 @@
+"""FP8 (E4M3) weight quantization for the DiT block linears.
+
+TPU-native analog of the reference's fp8 path
+(reference: hyvideo/modules/fp8_optimization.py:7-101): per-tensor symmetric
+scales, E4M3 storage, dequantize-to-compute-dtype at matmul time. Instead of
+monkey-patching `nn.Linear.forward`, the functional `linear()` in models/dit.py
+recognises quantized leaves ({'kernel': fp8, 'scale': f32}) and XLA fuses the
+dequant multiply into the matmul's operand load.
+
+Only double/single-block weights are quantized (the reference converts only
+`double_blocks`/`single_blocks` linears, fp8_optimization.py:92-96); embedders
+and the final layer stay high precision.
+
+For stacked (scanned) block params, scales are per-block (axis 0), i.e. a
+[depth, 1, 1] scale next to a [depth, in, out] kernel — per-tensor per layer,
+matching the reference's `*_fp8_map.pt` side-car of one scale per linear.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+# Max representable magnitude of float8_e4m3fn: 1.75 * 2^8
+# (reference computes the same 448.0 via get_fp_maxval, fp8_optimization.py:7-18)
+FP8_E4M3_MAX = 448.0
+
+QUANT_BLOCK_KEYS = ("double_blocks", "single_blocks")
+
+
+def quantize_tensor_fp8(w: jnp.ndarray, stacked: bool):
+    """Per-tensor (per-block if stacked) E4M3 quantization.
+
+    Returns {'kernel': float8_e4m3fn, 'scale': f32 broadcastable}.
+    """
+    wf = w.astype(jnp.float32)
+    if stacked:
+        axes = tuple(range(1, w.ndim))
+        amax = jnp.max(jnp.abs(wf), axis=axes, keepdims=True)
+    else:
+        amax = jnp.max(jnp.abs(wf))
+    scale = jnp.maximum(amax, 1e-12) / FP8_E4M3_MAX
+    q = jnp.clip(wf / scale, -FP8_E4M3_MAX, FP8_E4M3_MAX)
+    return {"kernel": q.astype(jnp.float8_e4m3fn),
+            "scale": scale.astype(jnp.float32)}
+
+
+def dequantize(p: Dict[str, Any], dtype) -> jnp.ndarray:
+    return (p["kernel"].astype(jnp.float32) * p["scale"]).astype(dtype)
+
+
+def quantize_dit_params_fp8(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize every linear kernel inside double/single blocks to fp8.
+
+    Biases, norms, and modulation/embedding layers keep their dtype (the
+    reference likewise only converts weight tensors of block linears,
+    fp8_optimization.py:92-98).
+    """
+    out = dict(params)
+    for key in QUANT_BLOCK_KEYS:
+        if key not in params:
+            continue
+
+        def conv(p):
+            if isinstance(p, dict):
+                if "kernel" in p and p["kernel"].ndim >= 2:
+                    rest = {k: v for k, v in p.items() if k != "kernel"}
+                    return {**rest,
+                            **quantize_tensor_fp8(p["kernel"], stacked=True)}
+                return {k: conv(v) for k, v in p.items()}
+            return p
+
+        out[key] = conv(params[key])
+    return out
+
+
+def fp8_param_bytes(params: Dict[str, Any]) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))

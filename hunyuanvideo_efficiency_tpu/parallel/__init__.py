@@ -1,0 +1,13 @@
+"""Multi-chip parallelism: mesh construction, Ulysses x ring sequence-
+parallel attention, and sharded DiT forward/denoise (SURVEY.md §2.9)."""
+from .mesh import (DP_AXIS, RING_AXIS, SP_AXES, ULYSSES_AXIS, ParallelConfig,
+                   latent_sharding, make_mesh, replicated, tokens_sharding)
+from .sp_attention import usp_joint_attention
+from .sp_dit import (make_sp_denoise_fn, make_sp_dit_forward, shard_params)
+
+__all__ = [
+    "DP_AXIS", "RING_AXIS", "SP_AXES", "ULYSSES_AXIS", "ParallelConfig",
+    "latent_sharding", "make_mesh", "replicated", "tokens_sharding",
+    "usp_joint_attention", "make_sp_denoise_fn", "make_sp_dit_forward",
+    "shard_params",
+]

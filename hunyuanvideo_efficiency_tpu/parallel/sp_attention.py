@@ -1,0 +1,137 @@
+"""Sequence-parallel joint img+txt attention: Ulysses x ring over ICI.
+
+First-party TPU replacement for xfuser's `xFuserLongContextAttention`
+(reference: hyvideo/modules/attenion.py:159-212, hyvideo/inference.py:80-83):
+
+* **Ulysses**: `lax.all_to_all` reshards img q/k/v from sequence-sharded
+  [B, S/sp, H, D] to head-sharded [B, S/r, H/u, D] (head scatter / seq
+  gather), runs attention locally, and reshards back. The NCCL all-to-all
+  becomes one ICI collective each way.
+* **Ring**: K/V img chunks rotate around the `ring` axis via `lax.ppermute`;
+  each hop folds one chunk into a running online-softmax state (m, l, acc) —
+  the flash recurrence distributed across chips.
+* **Joint text, "rear" strategy**: text tokens are replicated. Each device
+  slices its local heads of the text K/V and folds them into the softmax
+  state exactly once, so text participates in every ring step's normalizer —
+  semantics identical to xfuser's joint_tensor_key/value with
+  joint_strategy="rear" (attenion.py:185-207). Text-query outputs are
+  computed redundantly per ring rank (replicated, like the reference) and
+  head-gathered across the ulysses axis.
+
+All functions here are called INSIDE `shard_map` (they use axis names).
+Online-softmax merging is order-invariant, so ring rotation order does not
+affect results beyond fp round-off.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+NEG_INF = -1e30
+
+
+def _partial_attn(q, k, v, bias, state, scale):
+    """Fold one K/V chunk into the online-softmax state.
+
+    q: [B, Sq, Hl, D]; k/v: [B, Sk, Hl, D]; bias: [B, 1, 1, Sk] or None.
+    state (m, l, acc): [B, Hl, Sq], [B, Hl, Sq], [B, Hl, Sq, D], fp32.
+    """
+    m, l, acc = state
+    qf = jnp.einsum("bqhd->bhqd", q).astype(jnp.float32) * scale
+    kf = jnp.einsum("bkhd->bhkd", k).astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf)
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+    p = jnp.exp(s - m_new[..., None])
+    corr = jnp.exp(m - m_new)
+    l_new = l * corr + jnp.sum(p, axis=-1)
+    acc_new = acc * corr[..., None] + jnp.einsum(
+        "bhqk,bkhd->bhqd", p, v.astype(jnp.float32))
+    return m_new, l_new, acc_new
+
+
+def _init_state(b, h, sq, d):
+    return (jnp.full((b, h, sq), NEG_INF, jnp.float32),
+            jnp.zeros((b, h, sq), jnp.float32),
+            jnp.zeros((b, h, sq, d), jnp.float32))
+
+
+def _finish(state, dtype):
+    m, l, acc = state
+    out = acc / jnp.maximum(l, 1e-37)[..., None]
+    return jnp.einsum("bhqd->bqhd", out).astype(dtype)
+
+
+def usp_joint_attention(
+    img_q: jnp.ndarray,  # [B, S_loc, H, D] sequence-sharded over (u, r)
+    img_k: jnp.ndarray,
+    img_v: jnp.ndarray,
+    txt_q: jnp.ndarray,  # [B, Lt, H, D] replicated
+    txt_k: jnp.ndarray,
+    txt_v: jnp.ndarray,
+    txt_bias: Optional[jnp.ndarray],  # [B, 1, 1, Lt] key-padding bias
+    ulysses_axis: Optional[str] = None,
+    ring_axis: Optional[str] = None,
+    scale: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (img_out [B, S_loc, H*D] seq-sharded, txt_out [B, Lt, H*D]
+    replicated). Must run inside shard_map with the given axis names."""
+    b, _, h, d = img_q.shape
+    lt = txt_q.shape[1]
+    scale = scale if scale is not None else d ** -0.5
+    u = lax.axis_size(ulysses_axis) if ulysses_axis else 1
+    r = lax.axis_size(ring_axis) if ring_axis else 1
+
+    # ---- Ulysses head-scatter / seq-gather ----
+    if u > 1:
+        a2a = partial(lax.all_to_all, axis_name=ulysses_axis,
+                      split_axis=2, concat_axis=1, tiled=True)
+        img_q, img_k, img_v = a2a(img_q), a2a(img_k), a2a(img_v)
+        uidx = lax.axis_index(ulysses_axis)
+        hl = h // u
+        sl = lambda x: lax.dynamic_slice_in_dim(x, uidx * hl, hl, axis=2)
+        txt_q_l, txt_k_l, txt_v_l = sl(txt_q), sl(txt_k), sl(txt_v)
+    else:
+        hl = h
+        txt_q_l, txt_k_l, txt_v_l = txt_q, txt_k, txt_v
+
+    s_r = img_q.shape[1]  # img seq per ring rank
+    q = jnp.concatenate([img_q, txt_q_l], axis=1)  # [B, s_r + Lt, hl, D]
+    sq = s_r + lt
+
+    # ---- fold replicated text K/V exactly once ----
+    state = _init_state(b, hl, sq, d)
+    state = _partial_attn(q, txt_k_l, txt_v_l, txt_bias, state, scale)
+
+    # ---- ring rotation of img K/V ----
+    if r > 1:
+        perm = [(i, (i + 1) % r) for i in range(r)]
+
+        def ring_step(carry, _):
+            state, k_blk, v_blk = carry
+            state = _partial_attn(q, k_blk, v_blk, None, state, scale)
+            k_blk = lax.ppermute(k_blk, ring_axis, perm)
+            v_blk = lax.ppermute(v_blk, ring_axis, perm)
+            return (state, k_blk, v_blk), None
+
+        (state, _, _), _ = lax.scan(
+            ring_step, (state, img_k, img_v), None, length=r)
+    else:
+        state = _partial_attn(q, img_k, img_v, None, state, scale)
+
+    out = _finish(state, img_v.dtype)  # [B, s_r + Lt, hl, D]
+    img_out, txt_out = out[:, :s_r], out[:, s_r:]
+
+    # ---- Ulysses seq-scatter / head-gather back ----
+    if u > 1:
+        img_out = lax.all_to_all(img_out, axis_name=ulysses_axis,
+                                 split_axis=1, concat_axis=2, tiled=True)
+        txt_out = lax.all_gather(txt_out, ulysses_axis, axis=2, tiled=True)
+
+    return (img_out.reshape(b, img_out.shape[1], h * d),
+            txt_out.reshape(b, lt, h * d))

@@ -1,0 +1,107 @@
+"""Flash-attention kernel (interpret mode on CPU) + fp8 quantization tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hunyuanvideo_efficiency_tpu.ops.attention import (
+    padding_key_bias, sdpa_attention)
+from hunyuanvideo_efficiency_tpu.ops.flash_attention import flash_attention
+from hunyuanvideo_efficiency_tpu.ops.quantization import (
+    FP8_E4M3_MAX, quantize_dit_params_fp8, quantize_tensor_fp8)
+
+
+class TestFlashAttention:
+    def _data(self, b=2, s=300, h=4, d=128, txt=44, seed=0):
+        key = jax.random.PRNGKey(seed)
+        q, k, v = [jax.random.normal(kk, (b, s, h, d), jnp.float32)
+                   for kk in jax.random.split(key, 3)]
+        mask = jnp.asarray(np.random.RandomState(seed).rand(b, txt) > 0.3,
+                           jnp.int32).at[:, 0].set(1)
+        bias = padding_key_bias(mask, s - txt)
+        return q, k, v, bias
+
+    def test_matches_sdpa_with_padding(self):
+        q, k, v, bias = self._data()
+        out = flash_attention(q, k, v, key_bias=bias, block_q=128, block_k=128)
+        ref = sdpa_attention(q, k, v, bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_no_bias(self):
+        q, k, v, _ = self._data(s=256)
+        out = flash_attention(q, k, v, block_q=128, block_k=128)
+        ref = sdpa_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_unaligned_seq_padding_is_sliced(self):
+        # 200 is not a multiple of 128: exercises q/k pad + slice-off.
+        q, k, v, _ = self._data(s=200, txt=8)
+        out = flash_attention(q, k, v, block_q=128, block_k=128)
+        ref = sdpa_attention(q, k, v)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_bf16_inputs(self):
+        q, k, v, bias = self._data(s=256)
+        qb, kb_, vb = [x.astype(jnp.bfloat16) for x in (q, k, v)]
+        out = flash_attention(qb, kb_, vb, key_bias=bias,
+                              block_q=128, block_k=128)
+        ref = sdpa_attention(q, k, v, bias=bias)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref), rtol=3e-2, atol=3e-2)
+
+
+class TestFP8:
+    def test_quantize_roundtrip_error_small(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (64, 64)) * 0.02
+        q = quantize_tensor_fp8(w, stacked=False)
+        assert q["kernel"].dtype == jnp.float8_e4m3fn
+        deq = q["kernel"].astype(jnp.float32) * q["scale"]
+        rel = float(jnp.max(jnp.abs(deq - w)) / jnp.max(jnp.abs(w)))
+        assert rel < 0.07  # e4m3 has ~2 decimal digits
+
+    def test_stacked_per_block_scales(self):
+        w = jnp.stack([jnp.ones((8, 8)), 100.0 * jnp.ones((8, 8))])
+        q = quantize_tensor_fp8(w, stacked=True)
+        assert q["scale"].shape == (2, 1, 1)
+        deq = q["kernel"].astype(jnp.float32) * q["scale"]
+        np.testing.assert_allclose(np.asarray(deq), np.asarray(w), rtol=1e-2)
+
+    def test_dit_forward_with_fp8_params(self):
+        from hunyuanvideo_efficiency_tpu.models.dit import (
+            dit_forward, init_dit_params)
+        from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+        from hunyuanvideo_efficiency_tpu.ops.rope import (
+            get_nd_rotary_pos_embed)
+
+        cfg = DiTConfig(hidden_size=128, heads_num=4,
+                        mm_double_blocks_depth=2, mm_single_blocks_depth=2,
+                        rope_dim_list=(8, 12, 12), text_states_dim=64,
+                        text_states_dim_2=32, attn_mode="sdpa")
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        qparams = quantize_dit_params_fp8(params)
+        # only block kernels converted
+        assert qparams["double_blocks"]["img_attn_qkv"]["kernel"].dtype \
+            == jnp.float8_e4m3fn
+        assert "scale" in qparams["double_blocks"]["img_attn_qkv"]
+        assert qparams["img_in"]["kernel"].dtype == jnp.float32
+
+        key = jax.random.PRNGKey(2)
+        ks = jax.random.split(key, 4)
+        x = jax.random.normal(ks[0], (1, 16, 3, 8, 6), jnp.float32)
+        t = jnp.full((1,), 500.0)
+        pe = jax.random.normal(ks[1], (1, 8, 64), jnp.float32)
+        mask = jnp.ones((1, 8), jnp.int32)
+        pe2 = jax.random.normal(ks[2], (1, 32), jnp.float32)
+        cos, sin = get_nd_rotary_pos_embed(cfg.rope_dim_list, (3, 4, 3),
+                                           theta=cfg.rope_theta)
+        ref = dit_forward(params, x, t, pe, mask, pe2, cos, sin, cfg=cfg)
+        out = dit_forward(qparams, x, t, pe, mask, pe2, cos, sin, cfg=cfg)
+        err = float(jnp.max(jnp.abs(out - ref)))
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+        assert err / scale < 0.15, f"fp8 rel err too large: {err/scale}"
+        assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,162 @@
+"""Text encoder parity vs HF torch oracles (tiny random-init models) +
+wrapper behavior (templates, crop_start, masks)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hunyuanvideo_efficiency_tpu.constants import PROMPT_TEMPLATE
+from hunyuanvideo_efficiency_tpu.models.text import (
+    CLIPTextConfig, HashTokenizer, LlamaConfig, TextEncoder, clip_encode,
+    convert_clip_state_dict, convert_llama_state_dict, llama_encode)
+
+TINY_LLAMA = LlamaConfig(
+    vocab_size=128, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+    rope_theta=10000.0)
+
+TINY_CLIP = CLIPTextConfig(
+    vocab_size=96, hidden_size=48, intermediate_size=96,
+    num_hidden_layers=3, num_attention_heads=4,
+    max_position_embeddings=32, eos_token_id=95)
+
+
+class TestLlamaParity:
+    @pytest.fixture(scope="class")
+    def oracle(self):
+        import torch
+        from transformers import LlamaConfig as HFLlamaConfig
+        from transformers import LlamaModel
+
+        torch.manual_seed(0)
+        hf_cfg = HFLlamaConfig(
+            vocab_size=TINY_LLAMA.vocab_size,
+            hidden_size=TINY_LLAMA.hidden_size,
+            intermediate_size=TINY_LLAMA.intermediate_size,
+            num_hidden_layers=TINY_LLAMA.num_hidden_layers,
+            num_attention_heads=TINY_LLAMA.num_attention_heads,
+            num_key_value_heads=TINY_LLAMA.num_key_value_heads,
+            rope_theta=TINY_LLAMA.rope_theta,
+            rms_norm_eps=TINY_LLAMA.rms_norm_eps,
+            attention_bias=False, mlp_bias=False,
+            attn_implementation="eager")
+        model = LlamaModel(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        params = convert_llama_state_dict(sd, TINY_LLAMA)
+        return model, params
+
+    def _inputs(self, b=2, l=12):
+        rng = np.random.RandomState(0)
+        ids = rng.randint(2, TINY_LLAMA.vocab_size, (b, l)).astype(np.int64)
+        mask = np.ones((b, l), np.int64)
+        mask[1, 8:] = 0
+        return ids, mask
+
+    @pytest.mark.parametrize("skip", [0, 2])
+    def test_hidden_state_tap(self, oracle, skip):
+        import torch
+
+        model, params = oracle
+        ids, mask = self._inputs()
+        with torch.no_grad():
+            out = model(input_ids=torch.from_numpy(ids),
+                        attention_mask=torch.from_numpy(mask),
+                        output_hidden_states=True)
+        ref = out.hidden_states[-(skip + 1)].numpy()
+        got = llama_encode(params, jnp.asarray(ids, jnp.int32),
+                           jnp.asarray(mask, jnp.int32), TINY_LLAMA,
+                           hidden_state_skip_layer=skip, dtype=jnp.float32)
+        # compare only valid positions (HF pads can diverge freely)
+        m = mask[..., None].astype(bool)
+        np.testing.assert_allclose(
+            np.where(m, np.asarray(got), 0), np.where(m, ref, 0),
+            rtol=2e-3, atol=2e-3)
+
+
+class TestCLIPParity:
+    @pytest.fixture(scope="class")
+    def oracle(self):
+        import torch
+        from transformers import CLIPTextConfig as HFCLIPTextConfig
+        from transformers import CLIPTextModel
+
+        torch.manual_seed(0)
+        hf_cfg = HFCLIPTextConfig(
+            vocab_size=TINY_CLIP.vocab_size,
+            hidden_size=TINY_CLIP.hidden_size,
+            intermediate_size=TINY_CLIP.intermediate_size,
+            num_hidden_layers=TINY_CLIP.num_hidden_layers,
+            num_attention_heads=TINY_CLIP.num_attention_heads,
+            max_position_embeddings=TINY_CLIP.max_position_embeddings,
+            eos_token_id=TINY_CLIP.eos_token_id,
+            bos_token_id=94, hidden_act="quick_gelu",
+            attn_implementation="eager")
+        model = CLIPTextModel(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        params = convert_clip_state_dict(sd, TINY_CLIP)
+        return model, params
+
+    def test_pooled_and_hidden(self, oracle):
+        import torch
+
+        model, params = oracle
+        rng = np.random.RandomState(1)
+        b, l = 2, 16
+        ids = rng.randint(2, 90, (b, l)).astype(np.int64)
+        ids[0, 10] = TINY_CLIP.eos_token_id
+        ids[1, 5] = TINY_CLIP.eos_token_id
+        mask = np.ones((b, l), np.int64)
+        with torch.no_grad():
+            out = model(input_ids=torch.from_numpy(ids),
+                        attention_mask=torch.from_numpy(mask))
+        hidden, pooled = clip_encode(params, jnp.asarray(ids, jnp.int32),
+                                     jnp.asarray(mask, jnp.int32), TINY_CLIP)
+        np.testing.assert_allclose(np.asarray(hidden),
+                                   out.last_hidden_state.numpy(),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(pooled),
+                                   out.pooler_output.numpy(),
+                                   rtol=2e-3, atol=2e-3)
+
+
+class TestTextEncoderWrapper:
+    def test_llm_crop_start_and_mask(self):
+        tpl = {"template": "INSTRUCT a b c {}", "crop_start": 5}
+        enc = TextEncoder(
+            "llm", max_length=16 + 5, model_config=TINY_LLAMA,
+            prompt_template=tpl, prompt_template_video=tpl,
+            hidden_state_skip_layer=2, dtype=jnp.float32,
+            init_key=jax.random.PRNGKey(0))
+        out = enc("a cat", data_type="video")
+        assert out.hidden_state.shape == (1, 16, TINY_LLAMA.hidden_size)
+        assert out.attention_mask.shape == (1, 16)
+        assert np.isfinite(np.asarray(out.hidden_state)).all()
+
+    def test_clip_pooled_shape(self):
+        enc = TextEncoder("clipL", max_length=16, model_config=TINY_CLIP,
+                          dtype=jnp.float32,
+                          init_key=jax.random.PRNGKey(1))
+        out = enc(["a cat", "a dog"])
+        assert out.hidden_state.shape == (2, TINY_CLIP.hidden_size)
+        assert out.attention_mask is None
+
+    def test_encode_prompt_repeats(self):
+        enc = TextEncoder("llm", max_length=8, model_config=TINY_LLAMA,
+                          hidden_state_skip_layer=2, dtype=jnp.float32,
+                          init_key=jax.random.PRNGKey(2))
+        pe, mask = enc.encode_prompt("hello world", num_videos=3)
+        assert pe.shape[0] == 3 and mask.shape[0] == 3
+
+    def test_template_validation(self):
+        with pytest.raises(ValueError):
+            TextEncoder("llm", 8, model_config=TINY_LLAMA,
+                        prompt_template={"template": "no placeholder"},
+                        init_key=jax.random.PRNGKey(0))
+        with pytest.raises(ValueError):
+            TextEncoder("t5", 8)
+
+    def test_reference_templates_roundtrip(self):
+        # the shipped templates must contain the placeholder and known crops
+        assert PROMPT_TEMPLATE["dit-llm-encode"]["crop_start"] == 36
+        assert PROMPT_TEMPLATE["dit-llm-encode-video"]["crop_start"] == 95
+        assert "{}" in PROMPT_TEMPLATE["dit-llm-encode-video"]["template"]
