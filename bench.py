@@ -146,31 +146,46 @@ def bench_step(height, width, frames, repeats=3):
     return min(times), n_img + lt, cfg.hidden_size
 
 
+# Reference derived baseline: 38.1 s/step at 720p x 129f (1 GPU),
+# img tokens 33*45*80 = 118800 + 256 text.
+REF_SEC = 38.1
+REF_TOKENS = 118800 + 256
+
+
+def run_one(height, width, frames):
+    sec, n_tok, hidden = bench_step(height, width, frames)
+    ref_equiv = REF_SEC * (model_flops(n_tok, hidden)
+                           / model_flops(REF_TOKENS, hidden))
+    print(json.dumps({
+        "metric": f"sec/denoise-step 13B fp8 {width}x{height}x{frames}f 1chip",
+        "value": round(sec, 3),
+        "unit": "s",
+        "vs_baseline": round(ref_equiv / sec, 3),
+    }))
+
+
 def main():
-    # Reference derived baseline: 38.1 s/step at 720p x 129f (1 GPU),
-    # img tokens 33*45*80 = 118800 + 256 text.
-    ref_sec = 38.1
-    ref_tokens = 118800 + 256
+    """Try configs largest-first; each attempt runs in a fresh subprocess so
+    a failed (OOM) attempt cannot strand HBM for the next one."""
+    import subprocess
 
     attempts = [(544, 960, 129), (544, 960, 65), (384, 640, 129)]
-    last_err = None
     for (hh, ww, ff) in attempts:
-        try:
-            sec, n_tok, hidden = bench_step(hh, ww, ff)
-            ref_equiv = ref_sec * (model_flops(n_tok, hidden)
-                                   / model_flops(ref_tokens, hidden))
-            print(json.dumps({
-                "metric": f"sec/denoise-step 13B fp8 {ww}x{hh}x{ff}f 1chip",
-                "value": round(sec, 3),
-                "unit": "s",
-                "vs_baseline": round(ref_equiv / sec, 3),
-            }))
-            return
-        except Exception as e:  # OOM etc. — try a smaller config
-            last_err = e
-            print(f"bench config {ww}x{hh}x{ff} failed: {e}", file=sys.stderr)
-    raise SystemExit(f"all bench configs failed: {last_err}")
+        proc = subprocess.run(
+            [sys.executable, __file__, "--config", str(hh), str(ww), str(ff)],
+            capture_output=True, text=True, timeout=3600)
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        print(f"bench config {ww}x{hh}x{ff} failed:\n"
+              f"{proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else 'no stderr'}",
+              file=sys.stderr)
+    raise SystemExit("all bench configs failed")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--config":
+        run_one(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    else:
+        main()

@@ -19,7 +19,9 @@ VAE_NAME_RE = re.compile(r"^(\d)(\d)(\d)-(\d+)c-(\w+)$")
 
 @dataclass(frozen=True)
 class VaeNameInfo:
-    """Parsed "<t><s><s>-<c>c-<tag>" VAE name, e.g. "884-16c-hy"."""
+    """Parsed "<s><s><t>-<c>c-<tag>" VAE name: "884-16c-hy" = spatial x8,
+    time x4, 16 latent channels (reference: "884" selects (f-1)//4+1 latent
+    frames, hyvideo/inference.py:454-459; "888" selects (f-1)//8+1)."""
 
     time_ratio: int
     spatial_ratio: int
@@ -44,7 +46,7 @@ def parse_vae_name(name: str) -> VaeNameInfo:
         raise ValueError(
             f"Invalid VAE name: {name}. Expected format like '884-16c-hy'."
         )
-    t, s1, s2, c, tag = m.groups()
+    s1, s2, t, c, tag = m.groups()
     if s1 != s2:
         raise ValueError(f"VAE name {name}: anisotropic spatial ratios unsupported.")
     return VaeNameInfo(

@@ -214,3 +214,21 @@ class TOpsConfig:
 
     def up(self, i: int) -> Optional[UpBlockTOps]:
         return self.up_blocks[i] if i < len(self.up_blocks) else None
+
+
+# Name-keyed registry (reference encodes the arch in the VAE name
+# "<t><s><s>-<c>c-<tag>", hyvideo/config.py:384-397; the full config is the
+# diffusers JSON in the checkpoint dir, defaults above).
+VAE_CONFIGS = {
+    "884-16c-hy": VAEConfig(),
+    "888-16c-hy": VAEConfig(time_compression_ratio=8),
+}
+
+
+def load_vae_config(name: str, **overrides) -> VAEConfig:
+    from dataclasses import replace
+
+    if name not in VAE_CONFIGS:
+        raise ValueError(f"Unknown VAE {name}; have {list(VAE_CONFIGS)}")
+    cfg = VAE_CONFIGS[name]
+    return replace(cfg, **overrides) if overrides else cfg
