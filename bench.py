@@ -113,7 +113,8 @@ def bench_step(height, width, frames, repeats=3):
     from hunyuanvideo_efficiency_tpu.models.dit_config import load_dit_config
     from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
 
-    cfg = load_dit_config("HYVideo-T/2-cfgdistill", attn_mode="flash")
+    cfg = load_dit_config("HYVideo-T/2-cfgdistill", attn_mode="flash",
+                          mlp_chunk_tokens=8192)
     params = build_fp8_params(cfg, jnp.bfloat16)
 
     t_lat = (frames - 1) // 4 + 1

@@ -17,3 +17,7 @@ __all__ = [
     "frechet_distance", "gaussian_stats", "psnr", "psnr_video", "ssim",
     "ssim_video",
 ]
+from .metrics import ms_ssim, ms_ssim_video  # noqa: E402
+from .run_metrics import demo, per_video_metrics  # noqa: E402
+
+__all__ += ["ms_ssim", "ms_ssim_video", "demo", "per_video_metrics"]

@@ -80,6 +80,62 @@ def ssim_video(a: np.ndarray, b: np.ndarray, data_range: float = 255.0
                           for t in range(a.shape[0])]))
 
 
+def _downsample2(x: np.ndarray) -> np.ndarray:
+    """2x average-pool with edge cropping to even size."""
+    h, w = x.shape[:2]
+    x = x[: h - h % 2, : w - w % 2]
+    return (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2] + x[1::2, 1::2]) / 4.0
+
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _ssim_cs(x, y, data_range, win=7, k1=0.01, k2=0.03):
+    """Returns (mean ssim, mean contrast-structure) for one channel."""
+    np_ = win ** 2
+    cov_norm = np_ / (np_ - 1)
+    ux, uy = uniform_filter(x, win), uniform_filter(y, win)
+    vx = cov_norm * (uniform_filter(x * x, win) - ux * ux)
+    vy = cov_norm * (uniform_filter(y * y, win) - uy * uy)
+    vxy = cov_norm * (uniform_filter(x * y, win) - ux * uy)
+    c1, c2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+    cs = (2 * vxy + c2) / (vx + vy + c2)
+    s = ((2 * ux * uy + c1) / (ux ** 2 + uy ** 2 + c1)) * cs
+    pad = (win - 1) // 2
+    sl = np.s_[pad:-pad, pad:-pad]
+    return float(s[sl].mean()), float(cs[sl].mean())
+
+
+def ms_ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0,
+            weights=_MSSSIM_WEIGHTS) -> float:
+    """Multi-scale SSIM (Wang 2003), channel-averaged
+    (reference: rebuttal run.py uses pytorch-msssim)."""
+    if a.ndim == 2:
+        a, b = a[..., None], b[..., None]
+    vals = []
+    for c in range(a.shape[-1]):
+        x = np.asarray(a[..., c], np.float64)
+        y = np.asarray(b[..., c], np.float64)
+        mcs = []
+        val = 1.0
+        for i, w in enumerate(weights):
+            s, cs = _ssim_cs(x, y, data_range)
+            if i == len(weights) - 1:
+                val = np.prod([max(m, 0) ** wt for m, wt in
+                               zip(mcs + [s], weights)])
+            else:
+                mcs.append(cs)
+                x, y = _downsample2(x), _downsample2(y)
+        vals.append(val)
+    return float(np.mean(vals))
+
+
+def ms_ssim_video(a: np.ndarray, b: np.ndarray,
+                  data_range: float = 255.0) -> float:
+    return float(np.mean([ms_ssim(a[t], b[t], data_range)
+                          for t in range(a.shape[0])]))
+
+
 def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray,
                      sigma2: np.ndarray, eps: float = 1e-6) -> float:
     """Frechet distance between two Gaussians (FVD/FID core,

@@ -8,3 +8,8 @@ __all__ = [
     "base_config", "enumerate_configs", "write_configs", "ExperimentResult",
     "bucket_tensors", "rank_results", "run_experiment", "run_sweep",
 ]
+from .analysis import (collect_experiment_metrics, frame_entropy,
+                       parse_metrics_txt, rank_table, temporal_entropy_rate)
+
+__all__ += ["collect_experiment_metrics", "frame_entropy",
+            "parse_metrics_txt", "rank_table", "temporal_entropy_rate"]

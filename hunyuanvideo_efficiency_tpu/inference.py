@@ -253,26 +253,26 @@ class HunyuanVideoSampler(Inference):
             target_height, target_width)
         n_tokens = tt * th * tw
 
+        from .utils.profiling import maybe_trace
+
         start = time.time()
-        key = keys[0]
-        for extra in keys[1:]:
-            key = jax.random.fold_in(key, 0)  # independent streams per video
-        samples = self.pipeline(
-            prompt=prompt[0] if len(prompt) == 1 else prompt,
-            height=target_height, width=target_width,
-            video_length=video_length,
-            num_inference_steps=infer_steps,
-            guidance_scale=guidance_scale,
-            negative_prompt=negative_prompt[0],
-            num_videos_per_prompt=num_videos_per_prompt,
-            key=keys[0],
-            embedded_guidance_scale=embedded_guidance_scale,
-            freqs_cis=(cos, sin),
-            n_tokens=n_tokens,
-            vae_ver=self.args.vae,
-            enable_tiling=self.args.vae_tiling,
-            data_type="video" if video_length > 1 else "image",
-        ).videos
+        with maybe_trace(getattr(self.args, "profile_dir", None)):
+            samples = self.pipeline(
+                prompt=prompt[0] if len(prompt) == 1 else prompt,
+                height=target_height, width=target_width,
+                video_length=video_length,
+                num_inference_steps=infer_steps,
+                guidance_scale=guidance_scale,
+                negative_prompt=negative_prompt[0],
+                num_videos_per_prompt=num_videos_per_prompt,
+                key=keys[0],
+                embedded_guidance_scale=embedded_guidance_scale,
+                freqs_cis=(cos, sin),
+                n_tokens=n_tokens,
+                vae_ver=self.args.vae,
+                enable_tiling=self.args.vae_tiling,
+                data_type="video" if video_length > 1 else "image",
+            ).videos
         gen_time = time.time() - start
         if self.logger:
             self.logger.info(f"Success, time: {gen_time}")

@@ -68,6 +68,24 @@ def mlp(p: Params, x: jnp.ndarray, act: str) -> jnp.ndarray:
     return linear(p["fc2"], ACT[act](linear(p["fc1"], x)))
 
 
+def _chunked_tokens(fn, x: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Apply a token-pointwise fn over chunks of the token axis of
+    [B, L, D] to bound the live intermediate size (e.g. the [L, 4h] MLP
+    hidden at 67k tokens is 1.7 GB bf16 — chunking makes 720p-class shapes
+    fit a 16 GB chip). fn must be shape-preserving in L."""
+    b, l, d = x.shape
+    if chunk is None or l <= chunk:
+        return fn(x)
+    pad = (-l) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    nc = x.shape[1] // chunk
+    xc = x.reshape(b, nc, chunk, d).transpose(1, 0, 2, 3)
+    yc = jax.lax.map(fn, xc)
+    y = yc.transpose(1, 0, 2, 3).reshape(b, nc * chunk, -1)
+    return y[:, :l]
+
+
 def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0
                        ) -> jnp.ndarray:
     """Sinusoidal timestep embedding, [cos | sin] ordering
@@ -162,6 +180,19 @@ def token_refiner(p: Params, x: jnp.ndarray, t: jnp.ndarray,
 # MM blocks
 # --------------------------------------------------------------------------
 
+def _qkv_proj(p: Params, x: jnp.ndarray, heads: int, d: int):
+    """q/k/v via three column-slice matmuls of the fused qkv weight.
+
+    Equivalent to one [in, 3h] matmul + split, but never materializes the
+    [L, 3h] buffer (1.16 GB bf16 at 67k tokens) nor the split copies."""
+    b, l, _ = x.shape
+    h = heads * d
+    q = linear(_col_slice(p, 0, h), x).reshape(b, l, heads, d)
+    k = linear(_col_slice(p, h, 2 * h), x).reshape(b, l, heads, d)
+    v = linear(_col_slice(p, 2 * h, 3 * h), x).reshape(b, l, heads, d)
+    return q, k, v
+
+
 def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
                  vec: jnp.ndarray, txt_bias: jnp.ndarray,
                  freqs_cis, cfg: DiTConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -175,17 +206,16 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
     (t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2) = jnp.split(txt_mod, 6, -1)
 
     img_m = modulate(layer_norm(img), i_shift1, i_scale1)
-    img_qkv = linear(p["img_attn_qkv"], img_m).reshape(b, img_len, 3, heads, d)
-    img_q, img_k, img_v = [img_qkv[:, :, i] for i in range(3)]
+    img_q, img_k, img_v = _qkv_proj(p["img_attn_qkv"], img_m, heads, d)
     img_q, img_k = _qk_norm(p["img_attn_q_norm"], p["img_attn_k_norm"],
                             img_q, img_k, cfg)
     if freqs_cis is not None:
-        img_q, img_k = apply_rotary_emb(img_q, img_k, freqs_cis)
+        img_q, img_k = apply_rotary_emb(img_q, img_k, freqs_cis,
+                                        chunk=cfg.mlp_chunk_tokens)
 
     txt_len = txt.shape[1]
     txt_m = modulate(layer_norm(txt), t_shift1, t_scale1)
-    txt_qkv = linear(p["txt_attn_qkv"], txt_m).reshape(b, txt_len, 3, heads, d)
-    txt_q, txt_k, txt_v = [txt_qkv[:, :, i] for i in range(3)]
+    txt_q, txt_k, txt_v = _qkv_proj(p["txt_attn_qkv"], txt_m, heads, d)
     txt_q, txt_k = _qk_norm(p["txt_attn_q_norm"], p["txt_attn_k_norm"],
                             txt_q, txt_k, cfg)
 
@@ -196,8 +226,10 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
 
     img = img + apply_gate(linear(p["img_attn_proj"], img_attn), i_gate1)
     img = img + apply_gate(
-        mlp(p["img_mlp"], modulate(layer_norm(img), i_shift2, i_scale2),
-            cfg.mlp_act_type), i_gate2)
+        _chunked_tokens(
+            lambda u: mlp(p["img_mlp"], u, cfg.mlp_act_type),
+            modulate(layer_norm(img), i_shift2, i_scale2),
+            cfg.mlp_chunk_tokens), i_gate2)
     txt = txt + apply_gate(linear(p["txt_attn_proj"], txt_attn), t_gate1)
     txt = txt + apply_gate(
         mlp(p["txt_mlp"], modulate(layer_norm(txt), t_shift2, t_scale2),
@@ -205,31 +237,65 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
     return img, txt
 
 
+def _col_slice(p: Params, start: int, stop: Optional[int]) -> Params:
+    """Column slice of a linear ({kernel [in,out], bias [out]}); the fp8
+    per-tensor scale (if any) applies unchanged to any slice."""
+    q = {"kernel": p["kernel"][:, start:stop]}
+    if "bias" in p:
+        q["bias"] = p["bias"][start:stop]
+    if "scale" in p:
+        q["scale"] = p["scale"]
+    return q
+
+
+def _row_slice(p: Params, start: int, stop: Optional[int],
+               keep_bias: bool) -> Params:
+    q = {"kernel": p["kernel"][start:stop]}
+    if keep_bias and "bias" in p:
+        q["bias"] = p["bias"]
+    if "scale" in p:
+        q["scale"] = p["scale"]
+    return q
+
+
 def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
                  txt_len: int, txt_bias: jnp.ndarray, freqs_cis,
                  cfg: DiTConfig) -> jnp.ndarray:
-    """Fused-linear parallel attn+MLP block (reference: models.py:326-393)."""
+    """Fused-linear parallel attn+MLP block (reference: models.py:326-393).
+
+    The reference's fused linear1 -> [3h qkv | mlp_hidden] split and
+    concat(attn, act(mlp)) -> linear2 are algebraically decomposed into
+    sliced matmuls: out = attn @ W2[:h] + act(x_mod @ W1[:,3h:]) @ W2[h:].
+    Identical math, but the [L, 3h+m] and [L, h+m] concatenation buffers are
+    never materialized, and the MLP branch is token-chunkable — together the
+    difference between fitting and OOM at 720p-class token counts.
+    """
     b, l, h = x.shape
     heads, d = cfg.heads_num, cfg.head_dim
     mod = linear(p["modulation"], jax.nn.silu(vec))
     shift, scale, gate = jnp.split(mod, 3, -1)
     x_mod = modulate(layer_norm(x), shift, scale)
-    qkv_mlp = linear(p["linear1"], x_mod)
-    qkv, mlp_h = jnp.split(qkv_mlp, [3 * cfg.hidden_size], axis=-1)
-    q, k, v = [u.reshape(b, l, heads, d) for u in jnp.split(qkv, 3, -1)]
+    h3 = 3 * cfg.hidden_size
+    q, k, v = _qkv_proj(_col_slice(p["linear1"], 0, h3), x_mod, heads, d)
     q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k, cfg)
     img_q, txt_q = q[:, :-txt_len], q[:, -txt_len:]
     img_k, txt_k = k[:, :-txt_len], k[:, -txt_len:]
     img_v, txt_v = v[:, :-txt_len], v[:, -txt_len:]
     if freqs_cis is not None:
-        img_q, img_k = apply_rotary_emb(img_q, img_k, freqs_cis)
+        img_q, img_k = apply_rotary_emb(img_q, img_k, freqs_cis,
+                                        chunk=cfg.mlp_chunk_tokens)
     img_attn, txt_attn = joint_attention(
         img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
         mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
         ring_axis=cfg.ring_axis)
     attn = jnp.concatenate([img_attn, txt_attn], axis=1)
-    out = linear(p["linear2"],
-                 jnp.concatenate([attn, ACT[cfg.mlp_act_type](mlp_h)], axis=-1))
+    p1_mlp = _col_slice(p["linear1"], h3, None)
+    p2_attn = _row_slice(p["linear2"], 0, cfg.hidden_size, keep_bias=True)
+    p2_mlp = _row_slice(p["linear2"], cfg.hidden_size, None, keep_bias=False)
+    out = linear(p2_attn, attn)
+    out = out + _chunked_tokens(
+        lambda u: linear(p2_mlp, ACT[cfg.mlp_act_type](linear(p1_mlp, u))),
+        x_mod, cfg.mlp_chunk_tokens)
     return x + apply_gate(out, gate)
 
 

@@ -34,6 +34,9 @@ class DiTConfig:
     # shard_map (see parallel/sp_dit.py). None = single-device attention.
     ulysses_axis: Optional[str] = None
     ring_axis: Optional[str] = None
+    # Token-chunked MLP branches: bounds the [L, mlp_hidden] transient so
+    # 720p-class token counts fit one chip. None = unchunked.
+    mlp_chunk_tokens: Optional[int] = None
 
     @property
     def head_dim(self) -> int:

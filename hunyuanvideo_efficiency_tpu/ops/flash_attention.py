@@ -10,8 +10,12 @@ online-softmax kernel:
 * Grid (batch, heads, q_blocks, k_blocks); the k dimension is innermost and
   iterated sequentially on the TPU, carrying the running (max, denom, acc)
   in VMEM scratch — the classic flash recurrence.
-* QK^T and P·V both land on the MXU via `jnp.dot(..., preferred_element_type
-  =float32)`; softmax bookkeeping runs on the VPU in fp32.
+* **Zero-copy head addressing**: q/k/v enter as [B, S, H*D] (a free reshape
+  of the model's [B, S, H, D]); each head is a 128-column slice selected by
+  the BlockSpec index map. No [B, H, S, D] transposes are materialized —
+  at 67k tokens those copies cost ~1.2 GB HBM and real bandwidth.
+* QK^T and P.V land on the MXU via dot_general with fp32 accumulation;
+  softmax bookkeeping runs on the VPU in fp32.
 * Sequence lengths are padded to the block size; padded keys are masked via
   the key bias, padded query rows are sliced off on return.
 
@@ -41,8 +45,8 @@ def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # [bq, d]
-    k = k_ref[0, 0].astype(jnp.float32)                  # [bk, d]
+    q = q_ref[0].astype(jnp.float32) * scale             # [bq, d]
+    k = k_ref[0].astype(jnp.float32)                     # [bk, d]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # [bq, bk]
@@ -55,7 +59,7 @@ def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref,
     p = jnp.exp(s - m_new[:, :1])                        # [bq, bk]
     corr = jnp.exp(m_prev - m_new)                       # [bq, 128]
     l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
-    v = v_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
     pv = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # [bq, d]
@@ -66,38 +70,45 @@ def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(ki == nk - 1)
     def _finish():
         denom = jnp.maximum(l_scr[...][:, :1], 1e-37)
-        o_ref[0, 0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
-def _flash_bhsd(q, k, v, kb, scale: float, block_q: int, block_k: int,
-                interpret: bool):
-    """q/k/v [B, H, S, D] (padded), kb [B, Sk] fp32 -> out [B, H, Sq, D]."""
-    b, h, sq, d = q.shape
-    sk = k.shape[2]
+    jax.jit,
+    static_argnames=("heads", "scale", "block_q", "block_k", "interpret"))
+def _flash_packed(q, k, v, kb, heads: int, scale: float, block_q: int,
+                  block_k: int, interpret: bool):
+    """q/k/v [B, S, H*D] (padded), kb [B, 8, Sk] fp32 -> out [B, Sq, H*D].
+
+    Head h = columns [h*d, (h+1)*d); selected purely by BlockSpec index
+    maps, so no layout change of the inputs is needed.
+    """
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    d = hd // heads
     nq = sq // block_q
     nk = sk // block_k
 
-    grid = (b, h, nq, nk)
+    grid = (b, heads, nq, nk)
     kernel = functools.partial(_flash_kernel, scale=scale, nk=nk)
-    flops = 4 * b * h * sq * sk * d
+    flops = 4 * b * heads * sq * sk * d
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             # kb is [B, 8, Sk] (sublane-broadcast) to satisfy TPU tiling.
-            pl.BlockSpec((1, 8, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 8, block_k),
+                         lambda bi, hi, qi, ki: (bi, 0, ki)),
+            pl.BlockSpec((1, block_q, d),
+                         lambda bi, hi, qi, ki: (bi, qi, hi)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bi, hi, qi, ki: (bi, ki, hi)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bi, hi, qi, ki: (bi, ki, hi)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d),
-                               lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda bi, hi, qi, ki: (bi, qi, hi)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -109,7 +120,7 @@ def _flash_bhsd(q, k, v, kb, scale: float, block_q: int, block_k: int,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=(q.size + k.size + v.size) * 2,
-            transcendentals=b * h * sq * sk),
+            transcendentals=b * heads * sq * sk),
         interpret=interpret,
     )(kb, q, k, v)
     return out
@@ -139,14 +150,14 @@ def flash_attention(
     sq_p = _round_up(sq, block_q)
     sk_p = _round_up(sk, block_k)
 
-    qt = jnp.moveaxis(q, 2, 1)  # [B, H, S, D]
-    kt = jnp.moveaxis(k, 2, 1)
-    vt = jnp.moveaxis(v, 2, 1)
+    qp = q.reshape(b, sq, hh * d)  # free reshape, no transpose
+    kp = k.reshape(b, sk, hh * d)
+    vp = v.reshape(b, sk, hh * d)
     if sq_p != sq:
-        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+        qp = jnp.pad(qp, ((0, 0), (0, sq_p - sq), (0, 0)))
     if sk_p != sk:
-        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
-        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+        kp = jnp.pad(kp, ((0, 0), (0, sk_p - sk), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, sk_p - sk), (0, 0)))
 
     if key_bias is not None:
         kb = key_bias.reshape(b, sk).astype(jnp.float32)
@@ -156,10 +167,9 @@ def flash_attention(
         kb = jnp.pad(kb, ((0, 0), (0, sk_p - sk)), constant_values=NEG_INF)
     kb = jnp.broadcast_to(kb[:, None, :], (b, 8, sk_p))
 
-    out = _flash_bhsd(qt, kt, vt, kb, float(scale), block_q, block_k,
-                      interpret)
-    out = jnp.moveaxis(out[:, :, :sq], 1, 2)  # [B, Sq, H, D]
-    return out.reshape(b, sq, hh * d)
+    out = _flash_packed(qp, kp, vp, kb, hh, float(scale), block_q, block_k,
+                        interpret)
+    return out[:, :sq]
 
 
 def _round_up(x: int, m: int) -> int:

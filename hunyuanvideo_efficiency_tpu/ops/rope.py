@@ -83,21 +83,50 @@ def _rotate_half_interleaved(x: jnp.ndarray) -> jnp.ndarray:
     return rot.reshape(x.shape)
 
 
+def _rotate_one(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+                ) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    out = xf * cos + _rotate_half_interleaved(xf) * sin
+    return out.astype(x.dtype)
+
+
 def apply_rotary_emb(
     xq: jnp.ndarray,
     xk: jnp.ndarray,
     freqs_cis: Tuple[jnp.ndarray, jnp.ndarray],
+    chunk: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Apply rotary embedding to q/k shaped [B, S, H, D] (seq-second layout).
 
     cos/sin: [S, D]. Computed in fp32 and cast back, matching the reference's
     fp32 rotation (posemb_layers.py:170-171).
+
+    `chunk`: apply over token chunks via `lax.map` so the fp32 intermediates
+    never materialize at full sequence length (at 67k tokens x 24 heads they
+    are ~0.8 GB each — the difference between fitting and OOM at 720p-class
+    shapes on a 16 GB chip). The rotation is pointwise per token, so results
+    are identical.
     """
     cos, sin = freqs_cis
-    cos = cos[None, :, None, :]
-    sin = sin[None, :, None, :]
-    xqf = xq.astype(jnp.float32)
-    xkf = xk.astype(jnp.float32)
-    xq_out = xqf * cos + _rotate_half_interleaved(xqf) * sin
-    xk_out = xkf * cos + _rotate_half_interleaved(xkf) * sin
-    return xq_out.astype(xq.dtype), xk_out.astype(xk.dtype)
+    cosb = cos[None, :, None, :]
+    sinb = sin[None, :, None, :]
+    s = xq.shape[1]
+    if chunk is None or s <= chunk:
+        return (_rotate_one(xq, cosb, sinb), _rotate_one(xk, cosb, sinb))
+
+    import jax
+
+    def chunked(x):
+        b, s_, h, d = x.shape
+        pad = (-s_) % chunk
+        xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else x
+        cp = jnp.pad(cos, ((0, pad), (0, 0))) if pad else cos
+        sp = jnp.pad(sin, ((0, pad), (0, 0))) if pad else sin
+        nc = xp.shape[1] // chunk
+        xc = xp.reshape(b, nc, chunk, h, d).transpose(1, 0, 2, 3, 4)
+        cc = cp.reshape(nc, 1, chunk, 1, d)
+        sc = sp.reshape(nc, 1, chunk, 1, d)
+        yc = jax.lax.map(lambda t: _rotate_one(*t), (xc, cc, sc))
+        return yc.transpose(1, 0, 2, 3, 4).reshape(b, nc * chunk, h, d)[:, :s_]
+
+    return chunked(xq), chunked(xk)

@@ -164,3 +164,69 @@ class TestEnumeration:
                 ["downsample_stride"] != [[1, 2, 2], [2, 2, 2], [2, 2, 2],
                                           [1, 1, 1]][b])
             assert n_strides == 2
+
+
+class TestMSSSIMAndRunner:
+    def test_ms_ssim_identity_and_noise(self):
+        from hunyuanvideo_efficiency_tpu.evaluation import ms_ssim
+
+        rng = np.random.RandomState(5)
+        a = rng.rand(128, 128, 3) * 255
+        assert ms_ssim(a, a) == pytest.approx(1.0, abs=1e-6)
+        b = np.clip(a + rng.randn(128, 128, 3) * 30, 0, 255)
+        v = ms_ssim(a, b)
+        assert 0 < v < 1
+
+    def test_per_video_metrics_csv(self, tmp_path):
+        from hunyuanvideo_efficiency_tpu.evaluation import per_video_metrics
+
+        rng = np.random.RandomState(6)
+        v1 = rng.randint(0, 255, (2, 3, 96, 96, 3)).astype(np.uint8)
+        v2 = np.clip(v1 + rng.randint(-20, 20, v1.shape), 0, 255).astype(np.uint8)
+        out = str(tmp_path / "m.csv")
+        rows = per_video_metrics(v1, v2, out_csv=out)
+        assert len(rows) == 2
+        assert all(np.isfinite(r["psnr"]) for r in rows)
+        assert os.path.exists(out)
+
+    def test_demo_golden_values(self):
+        """Zeros vs ones: PSNR must be exactly 0 dB; SSIM near 0; the
+        Frechet self-distance must be ~0 (reference demo.py semantics)."""
+        from hunyuanvideo_efficiency_tpu.evaluation import demo
+
+        out = demo(n=2, frames=4, size=32)
+        assert out["psnr"] == pytest.approx(0.0, abs=1e-6)
+        assert abs(out["ssim"]) < 1e-3
+        assert out["frechet_self"] == pytest.approx(0.0, abs=1e-5)
+
+
+class TestAnalysis:
+    def test_parse_and_rank(self, tmp_path):
+        from hunyuanvideo_efficiency_tpu.experiments import (
+            collect_experiment_metrics, rank_table)
+
+        for name, psnr in (("exp_1", 30.0), ("exp_2", 28.0), ("exp_3", 33.0)):
+            d = tmp_path / name
+            d.mkdir()
+            (d / "metrics_2026-01-01.txt").write_text(
+                f"Average PSNR: {psnr}\nAverage SSIM: 0.9\n"
+                f"Average LPIPS: 0.05\n")
+        rows = collect_experiment_metrics(str(tmp_path))
+        assert len(rows) == 3
+        ranked = rank_table(rows, "psnr")
+        assert [r["exp"] for r in ranked] == ["exp_3", "exp_1", "exp_2"]
+        ranked_l = rank_table(rows, "lpips")
+        assert len(ranked_l) == 3
+
+    def test_entropy(self):
+        from hunyuanvideo_efficiency_tpu.experiments import (
+            frame_entropy, temporal_entropy_rate)
+
+        rng = np.random.RandomState(0)
+        noise = rng.randint(0, 255, (4, 32, 32), dtype=np.uint8)
+        flat = np.zeros((4, 32, 32), np.uint8)
+        assert frame_entropy(noise).mean() > 7.0   # near 8 bits
+        assert frame_entropy(flat).mean() == 0.0
+        static = np.repeat(noise[:1], 4, axis=0)
+        assert temporal_entropy_rate(static) == 0.0
+        assert temporal_entropy_rate(noise) > 1.0
