@@ -134,15 +134,18 @@ def bench_step(height, width, frames, repeats=3):
     guidance = jnp.full((1,), 6000.0, jnp.float32)
 
     fwd = jax.jit(partial(dit_forward, cfg=cfg))
-    out = jax.block_until_ready(
-        fwd(params, x, t, pe, mask, pe2, cos, sin, guidance))  # compile+warm
+    out = fwd(params, x, t, pe, mask, pe2, cos, sin, guidance)  # compile+warm
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
+    # NOTE: block_until_ready does not reliably synchronize on the tunneled
+    # TPU backend; a scalar device->host readback is the ground-truth sync.
     times = []
-    for _ in range(repeats):
+    for i in range(repeats):
+        xi = x + jnp.bfloat16(i)  # fresh input defeats any result caching
+        float(jnp.sum(xi[0, 0, 0, 0]))
         t0 = time.perf_counter()
-        jax.block_until_ready(
-            fwd(params, x, t, pe, mask, pe2, cos, sin, guidance))
+        out = fwd(params, xi, t, pe, mask, pe2, cos, sin, guidance)
+        float(out[0, 0, 0, 0, 0])  # sync
         times.append(time.perf_counter() - t0)
     return min(times), n_img + lt, cfg.hidden_size
 

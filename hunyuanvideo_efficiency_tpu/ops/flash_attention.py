@@ -133,7 +133,7 @@ def flash_attention(
     key_bias: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     block_q: int = 1024,
-    block_k: int = 512,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
     """Flash attention; q/k/v [B, S, H, D] -> [B, Sq, H*D].
 

@@ -39,7 +39,8 @@ Params = Dict[str, Any]
 def _to_numpy(t) -> np.ndarray:
     import torch
 
-    if t.dtype == torch.bfloat16:
+    if t.dtype in (torch.bfloat16, getattr(torch, "float8_e4m3fn", None),
+                   getattr(torch, "float8_e5m2", None)):
         return t.detach().float().cpu().numpy()
     return t.detach().cpu().numpy()
 
@@ -209,6 +210,33 @@ def convert_dit_state_dict(sd: Dict[str, np.ndarray], cfg) -> Params:
         if leftover:
             raise ValueError(f"Unconverted DiT keys: {sorted(leftover)[:20]}")
     return params
+
+
+def load_fp8_dit_checkpoint(ckpt_path: str, fp8_map_path: str, cfg,
+                            load_key: str = "module"):
+    """Load a reference FP8 DiT checkpoint + its scale side-car.
+
+    The reference ships fp8(E4M3) weights with a `*_fp8_map.pt` of one scale
+    per quantized linear (reference: hyvideo/modules/fp8_optimization.py:
+    85-90 loads the map and multiplies at dequant). We upcast the fp8
+    weights, apply the side-car scales, convert names/layouts, and
+    re-quantize into this framework's per-block fp8 storage — numerically
+    identical dequantized weights.
+    """
+    sd = load_torch_state_dict(ckpt_path, load_key)
+    fp8_map = load_torch_state_dict(fp8_map_path)
+    for name, scale in fp8_map.items():
+        key = name if name in sd else name.replace(".scale", ".weight")
+        if key in sd:
+            sd[key] = sd[key].astype(np.float32) * np.asarray(scale,
+                                                             np.float32)
+    params = convert_dit_state_dict(sd, cfg)
+    from ..ops.quantization import quantize_dit_params_fp8
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    return quantize_dit_params_fp8(params)
 
 
 # --------------------------------------------------------------------------
