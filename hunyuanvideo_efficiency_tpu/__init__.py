@@ -13,3 +13,22 @@ Top-level layout:
 """
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "HunyuanVideoSampler": ".inference",
+    "Inference": ".inference",
+    "HunyuanVideoPipeline": ".diffusion.pipeline",
+    "FlowMatchDiscreteScheduler": ".diffusion.scheduler",
+    "InferenceArgs": ".config",
+    "parse_args": ".config",
+    "TextEncoder": ".models.text",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(_LAZY[name], __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
