@@ -108,7 +108,9 @@ class HunyuanVideoPipeline:
                  transformer_cfg: DiTConfig,
                  scheduler: FlowMatchDiscreteScheduler,
                  precision: str = "bf16", vae_precision: str = "fp16",
-                 args=None):
+                 args=None, offload_encoders: bool = False):
+        self.offload_encoders = offload_encoders or bool(
+            getattr(args, "use_cpu_offload", False))
         self.vae = vae
         self.text_encoder = text_encoder
         self.text_encoder_2 = text_encoder_2
@@ -193,6 +195,12 @@ class HunyuanVideoPipeline:
             pe, mask, pe2 = self.encode_prompt(
                 prompt, negative_prompt, do_cfg, data_type,
                 num_videos_per_prompt)
+            if self.offload_encoders:
+                # free encoder HBM before the denoise loop (reference
+                # sequential cpu-offload analog, inference.py:443-446)
+                for enc in (self.text_encoder, self.text_encoder_2):
+                    if enc is not None and hasattr(enc, "offload"):
+                        enc.offload()
         else:
             pe, mask, pe2 = prompt_embeds, prompt_mask, prompt_embeds_2
 

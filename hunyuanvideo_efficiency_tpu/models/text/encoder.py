@@ -201,6 +201,17 @@ class TextEncoder:
 
     __call__ = forward
 
+    # -- memory tier: host offload (reference analog: sequential cpu
+    #    offload, hyvideo/inference.py:443-446 — encoders are only needed
+    #    before the denoise loop; freeing their HBM lets the DiT breathe) --
+    def offload(self) -> None:
+        import numpy as np
+
+        self.params = jax.tree.map(np.asarray, self.params)
+
+    def load(self, device=None) -> None:
+        self.params = jax.device_put(self.params, device)
+
     # -- pipeline-facing API --
     def encode_prompt(self, prompt, data_type: str = "video",
                       num_videos: int = 1

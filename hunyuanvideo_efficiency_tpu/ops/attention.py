@@ -206,7 +206,8 @@ def joint_attention(
 
         return usp_joint_attention(
             img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
-            ulysses_axis=ulysses_axis, ring_axis=ring_axis, scale=scale)
+            ulysses_axis=ulysses_axis, ring_axis=ring_axis, scale=scale,
+            attn_mode=mode)
     img_len = img_q.shape[1]
     q = jnp.concatenate([img_q, txt_q], axis=1)
     k = jnp.concatenate([img_k, txt_k], axis=1)
@@ -234,7 +235,7 @@ def attention(
     """Dispatch: 'sdpa' (full-matrix), 'chunked' (online softmax), 'flash'
     (Pallas TPU kernel), or 'auto' (pick by sequence length / backend)."""
     if mode == "auto":
-        on_tpu = q.devices() == set() or jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
         if q.shape[1] >= 4096 and on_tpu:
             mode = "flash"
         elif q.shape[1] >= 8192:

@@ -78,6 +78,7 @@ def usp_joint_attention(
     ulysses_axis: Optional[str] = None,
     ring_axis: Optional[str] = None,
     scale: Optional[float] = None,
+    attn_mode: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (img_out [B, S_loc, H*D] seq-sharded, txt_out [B, Lt, H*D]
     replicated). Must run inside shard_map with the given axis names."""
@@ -101,6 +102,27 @@ def usp_joint_attention(
         txt_q_l, txt_k_l, txt_v_l = txt_q, txt_k, txt_v
 
     s_r = img_q.shape[1]  # img seq per ring rank
+
+    if r == 1:
+        # Pure-Ulysses fast path (the production v5e-8 config): each device
+        # holds the FULL sequence for its local heads — run the single-
+        # device flash/SDPA kernel directly instead of the streaming
+        # recurrence.
+        from ..ops.attention import joint_attention
+
+        img_out, txt_out = joint_attention(
+            img_q, img_k, img_v, txt_q_l, txt_k_l, txt_v_l, txt_bias,
+            mode=attn_mode, scale=scale)
+        if u > 1:
+            img_out = img_out.reshape(b, s_r, hl, d)
+            img_out = lax.all_to_all(img_out, axis_name=ulysses_axis,
+                                     split_axis=1, concat_axis=2, tiled=True)
+            img_out = img_out.reshape(b, img_out.shape[1], h * d)
+            txt_out = txt_out.reshape(b, lt, hl, d)
+            txt_out = lax.all_gather(txt_out, ulysses_axis, axis=2,
+                                     tiled=True).reshape(b, lt, h * d)
+        return img_out, txt_out
+
     q = jnp.concatenate([img_q, txt_q_l], axis=1)  # [B, s_r + Lt, hl, D]
     sq = s_r + lt
 

@@ -160,3 +160,19 @@ class TestTextEncoderWrapper:
         assert PROMPT_TEMPLATE["dit-llm-encode"]["crop_start"] == 36
         assert PROMPT_TEMPLATE["dit-llm-encode-video"]["crop_start"] == 95
         assert "{}" in PROMPT_TEMPLATE["dit-llm-encode-video"]["template"]
+
+
+class TestOffload:
+    def test_offload_and_reload_roundtrip(self):
+        import numpy as np
+
+        enc = TextEncoder("llm", max_length=8, model_config=TINY_LLAMA,
+                          hidden_state_skip_layer=2, dtype=jnp.float32,
+                          init_key=jax.random.PRNGKey(3))
+        before = enc("hello").hidden_state
+        enc.offload()
+        assert all(isinstance(x, np.ndarray)
+                   for x in jax.tree.leaves(enc.params))
+        enc.load()
+        after = enc("hello").hidden_state
+        np.testing.assert_allclose(np.asarray(before), np.asarray(after))
