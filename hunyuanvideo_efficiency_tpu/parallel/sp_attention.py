@@ -34,12 +34,7 @@ from jax import lax
 NEG_INF = -1e30
 
 
-def _partial_attn(q, k, v, bias, state, scale):
-    """Fold one K/V chunk into the online-softmax state.
-
-    q: [B, Sq, Hl, D]; k/v: [B, Sk, Hl, D]; bias: [B, 1, 1, Sk] or None.
-    state (m, l, acc): [B, Hl, Sq], [B, Hl, Sq], [B, Hl, Sq, D], fp32.
-    """
+def _partial_attn_block(q, k, v, bias, state, scale):
     m, l, acc = state
     qf = jnp.einsum("bqhd->bhqd", q).astype(jnp.float32) * scale
     kf = jnp.einsum("bkhd->bhkd", k).astype(jnp.float32)
@@ -53,6 +48,46 @@ def _partial_attn(q, k, v, bias, state, scale):
     acc_new = acc * corr[..., None] + jnp.einsum(
         "bhqk,bkhd->bhqd", p, v.astype(jnp.float32))
     return m_new, l_new, acc_new
+
+
+def _partial_attn(q, k, v, bias, state, scale, k_chunk: int = 2048):
+    """Fold one K/V chunk into the online-softmax state.
+
+    q: [B, Sq, Hl, D]; k/v: [B, Sk, Hl, D]; bias: [B, 1, 1, Sk] or None.
+    state (m, l, acc): [B, Hl, Sq], [B, Hl, Sq], [B, Hl, Sq, D], fp32.
+
+    Large Sk is folded in sub-chunks via lax.scan so the fp32 score block
+    never exceeds [B, Hl, Sq, k_chunk] — at 720p ring shards the full block
+    would be several GB.
+    """
+    sk = k.shape[1]
+    if sk <= k_chunk:
+        return _partial_attn_block(q, k, v, bias, state, scale)
+    pad = (-sk) % k_chunk
+    if pad:
+        widths = ((0, 0), (0, pad), (0, 0), (0, 0))
+        k = jnp.pad(k, widths)
+        v = jnp.pad(v, widths)
+        pad_bias = jnp.zeros((k.shape[0], 1, 1, sk + pad), jnp.float32)
+        pad_bias = pad_bias.at[..., sk:].set(NEG_INF)
+        bias = pad_bias if bias is None else (
+            jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, 0), (0, 0),
+                                               (0, pad)),
+                    constant_values=NEG_INF))
+    elif bias is None:
+        bias = jnp.zeros((k.shape[0], 1, 1, k.shape[1]), jnp.float32)
+    b, skp, hl, d = k.shape
+    nc = skp // k_chunk
+    kc = jnp.moveaxis(k.reshape(b, nc, k_chunk, hl, d), 1, 0)
+    vc = jnp.moveaxis(v.reshape(b, nc, k_chunk, hl, d), 1, 0)
+    bc = jnp.moveaxis(bias.reshape(b, 1, 1, nc, k_chunk), 3, 0)
+
+    def fold(st, inputs):
+        kb, vb, bb = inputs
+        return _partial_attn_block(q, kb, vb, bb, st, scale), None
+
+    state, _ = lax.scan(fold, state, (kc, vc, bc))
+    return state
 
 
 def _init_state(b, h, sq, d):

@@ -129,3 +129,27 @@ def test_sp_denoise_parity():
              cos.reshape(tt, th, tw, d), sin.reshape(tt, th, tw, d))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_partial_attn_chunked_matches_block():
+    """Sub-chunked K folding == single-block folding (exercised with a
+    k_chunk smaller than Sk, as production ring shards would be)."""
+    from hunyuanvideo_efficiency_tpu.parallel.sp_attention import (
+        _init_state, _finish, _partial_attn)
+
+    b, sq, sk, h, d = 1, 24, 50, 2, 16
+    key = jax.random.PRNGKey(0)
+    q, k, v = _qkv(key, b, max(sq, sk), h, d)
+    q = q[:, :sq]
+    k, v = k[:, :sk], v[:, :sk]
+    bias = jnp.where(
+        jnp.arange(sk)[None, None, None] % 7 == 0, -1e30, 0.0
+    ).astype(jnp.float32)
+
+    ref_state = _partial_attn(q, k, v, bias, _init_state(b, h, sq, d),
+                              1.0 / 4.0, k_chunk=4096)
+    chk_state = _partial_attn(q, k, v, bias, _init_state(b, h, sq, d),
+                              1.0 / 4.0, k_chunk=16)
+    np.testing.assert_allclose(np.asarray(_finish(chk_state, q.dtype)),
+                               np.asarray(_finish(ref_state, q.dtype)),
+                               rtol=1e-5, atol=1e-5)
