@@ -87,6 +87,7 @@ def make_sp_denoise_fn(
     do_cfg: bool,
     guidance_scale: float = 1.0,
     embedded_guidance_scale: Optional[float] = None,
+    guidance_rescale: float = 0.0,
 ):
     """Returns a jitted fn running the FULL denoise scan with the latent
     sharded throughout:
@@ -118,6 +119,25 @@ def make_sp_denoise_fn(
             if do_cfg:
                 v_u, v_t = jnp.split(v, 2, axis=0)
                 v = v_u + guidance_scale * (v_t - v_u)
+                if guidance_rescale > 0.0:
+                    # per-sample stds need the moments of the FULL latent;
+                    # spatial extent is sharded over the sp axes only (dp
+                    # shards distinct samples and must NOT be mixed)
+                    axes = (ULYSSES_AXIS, RING_AXIS)
+                    red = tuple(range(1, v.ndim))
+                    ex2 = lax.pmean(jnp.mean(v.astype(jnp.float32) ** 2,
+                                             axis=red, keepdims=True), axes)
+                    ex = lax.pmean(jnp.mean(v.astype(jnp.float32),
+                                            axis=red, keepdims=True), axes)
+                    et2 = lax.pmean(jnp.mean(v_t.astype(jnp.float32) ** 2,
+                                             axis=red, keepdims=True), axes)
+                    et = lax.pmean(jnp.mean(v_t.astype(jnp.float32),
+                                            axis=red, keepdims=True), axes)
+                    std_cfg = jnp.sqrt(jnp.maximum(ex2 - ex ** 2, 1e-20))
+                    std_t = jnp.sqrt(jnp.maximum(et2 - et ** 2, 1e-20))
+                    rescaled = v * (std_t / std_cfg)
+                    v = (guidance_rescale * rescaled
+                         + (1 - guidance_rescale) * v)
             return euler_step(lat, v, sigma, sigma_next), None
 
         lat, _ = jax.lax.scan(body, latents.astype(jnp.float32),
