@@ -51,13 +51,23 @@ def save_videos_grid(videos, path: str, rescale: bool = False, n_rows: int = 1,
         frames = np.repeat(frames, 3, axis=-1)
 
     Path(os.path.dirname(path) or ".").mkdir(parents=True, exist_ok=True)
-    import imageio.v2 as imageio
-
-    writer = imageio.get_writer(path, fps=fps, codec="libx264", quality=8,
-                                macro_block_size=1)
     try:
+        import imageio.v2 as imageio
+
+        writer = imageio.get_writer(path, fps=fps, codec="libx264",
+                                    quality=8, macro_block_size=1)
+        try:
+            for frame in frames:
+                writer.append_data(frame)
+        finally:
+            writer.close()
+    except Exception:
+        # no ffmpeg binary in minimal images — OpenCV mp4v fallback
+        import cv2
+
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (frames.shape[2], frames.shape[1]))
         for frame in frames:
-            writer.append_data(frame)
-    finally:
-        writer.close()
+            vw.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+        vw.release()
     return path
