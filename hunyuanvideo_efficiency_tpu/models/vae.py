@@ -359,6 +359,10 @@ class AutoencoderKLCausal3D:
         self.use_spatial_tiling = False
         self.use_temporal_tiling = False
         self.tile_overlap_factor = cfg.tile_overlap_factor
+        # equal-shape tiles batched per dispatch; decode activations are
+        # ~1 GB/tile at full res, so keep the decode group small
+        self.encode_tile_batch = 8
+        self.decode_tile_batch = 2
         self._enc = jax.jit(partial(encoder_forward, cfg=cfg, tops=tops))
         self._dec = jax.jit(partial(decoder_forward, cfg=cfg, tops=tops))
 
@@ -386,20 +390,48 @@ class AutoencoderKLCausal3D:
     def _decode_tile(self, z):
         return self._dec(self.params, z.astype(self.dtype))
 
+    def _run_tiles_batched(self, tiles, fn, tile_batch: int):
+        """Run equal-shaped tiles through fn in batched groups.
+
+        Independent tiles share one device dispatch and batch the convs
+        (the per-dispatch overhead and small-batch conv inefficiency both
+        hurt the reference-style tile-by-tile loop). `tile_batch` bounds the
+        group size so decoder activations stay within HBM.
+        """
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for idx, t in enumerate(tiles):
+            groups[t.shape].append(idx)
+        out = [None] * len(tiles)
+        for _, idxs in groups.items():
+            for s in range(0, len(idxs), tile_batch):
+                chunk = idxs[s:s + tile_batch]
+                stacked = jnp.concatenate([tiles[i] for i in chunk], axis=0)
+                res = fn(stacked)
+                for i, p in zip(chunk,
+                                jnp.split(res, len(chunk), axis=0)):
+                    out[i] = p
+        return out
+
     def _spatial_tiled_encode(self, x):
         cfg = self.cfg
         overlap = int(cfg.tile_sample_min_size * (1 - self.tile_overlap_factor))
         blend_extent = int(cfg.tile_latent_min_size * self.tile_overlap_factor)
         row_limit = cfg.tile_latent_min_size - blend_extent
         H, W = x.shape[2], x.shape[3]
-        rows = []
+        in_tiles = []
+        grid = []
         for i in range(0, H, overlap):
-            row = []
+            row_idx = []
             for j in range(0, W, overlap):
-                tile = x[:, :, i:i + cfg.tile_sample_min_size,
-                         j:j + cfg.tile_sample_min_size, :]
-                row.append(self._encode_tile(tile))
-            rows.append(row)
+                row_idx.append(len(in_tiles))
+                in_tiles.append(x[:, :, i:i + cfg.tile_sample_min_size,
+                                  j:j + cfg.tile_sample_min_size, :])
+            grid.append(row_idx)
+        flat = self._run_tiles_batched(in_tiles, self._encode_tile,
+                                       self.encode_tile_batch)
+        rows = [[flat[k] for k in row_idx] for row_idx in grid]
         out_rows = []
         for i, row in enumerate(rows):
             out_row = []
@@ -418,14 +450,18 @@ class AutoencoderKLCausal3D:
         blend_extent = int(cfg.tile_sample_min_size * self.tile_overlap_factor)
         row_limit = cfg.tile_sample_min_size - blend_extent
         H, W = z.shape[2], z.shape[3]
-        rows = []
+        in_tiles = []
+        grid = []
         for i in range(0, H, overlap):
-            row = []
+            row_idx = []
             for j in range(0, W, overlap):
-                tile = z[:, :, i:i + cfg.tile_latent_min_size,
-                         j:j + cfg.tile_latent_min_size, :]
-                row.append(self._decode_tile(tile))
-            rows.append(row)
+                row_idx.append(len(in_tiles))
+                in_tiles.append(z[:, :, i:i + cfg.tile_latent_min_size,
+                                  j:j + cfg.tile_latent_min_size, :])
+            grid.append(row_idx)
+        flat = self._run_tiles_batched(in_tiles, self._decode_tile,
+                                       self.decode_tile_batch)
+        rows = [[flat[k] for k in row_idx] for row_idx in grid]
         out_rows = []
         for i, row in enumerate(rows):
             out_row = []
