@@ -249,7 +249,9 @@ def attention(
     if mode == "chunked":
         return chunked_attention(q, k, v, key_bias=key_bias, scale=scale)
     if mode == "flash":
-        from .flash_attention import flash_attention
+        # custom-VJP variant: identical forward numerics, Pallas backward
+        # (ops/flash_backward.py) so training works through the same path
+        from .flash_backward import flash_attention_vjp
 
-        return flash_attention(q, k, v, key_bias=key_bias, scale=scale)
+        return flash_attention_vjp(q, k, v, key_bias, scale)
     raise NotImplementedError(f"Unsupported attention mode: {mode}")

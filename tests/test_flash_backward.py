@@ -1,0 +1,65 @@
+"""Flash attention custom VJP vs autodiff-of-SDPA oracle (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hunyuanvideo_efficiency_tpu.ops.attention import (padding_key_bias,
+                                                       sdpa_attention)
+from hunyuanvideo_efficiency_tpu.ops.flash_backward import flash_attention_vjp
+
+
+def _data(b=2, s=160, h=2, d=128, txt=24, seed=0):
+    key = jax.random.PRNGKey(seed)
+    q, k, v = [jax.random.normal(kk, (b, s, h, d), jnp.float32) * 0.5
+               for kk in jax.random.split(key, 3)]
+    if txt == 0:
+        return q, k, v, None
+    mask = jnp.asarray(np.random.RandomState(seed).rand(b, txt) > 0.3,
+                       jnp.int32).at[:, 0].set(1)
+    bias = padding_key_bias(mask, s - txt)
+    return q, k, v, bias
+
+
+class TestFlashVJP:
+    def test_forward_matches_sdpa(self):
+        q, k, v, bias = _data()
+        out = flash_attention_vjp(q, k, v, bias, None, 128, 128)
+        ref = sdpa_attention(q, k, v, bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    @pytest.mark.parametrize("s", [128, 200])
+    def test_grads_match_sdpa_autodiff(self, s):
+        q, k, v, bias = _data(s=s)
+
+        def loss_flash(q, k, v):
+            o = flash_attention_vjp(q, k, v, bias, None, 128, 128)
+            return jnp.sum(jnp.sin(o) * 0.1)
+
+        def loss_ref(q, k, v):
+            o = sdpa_attention(q, k, v, bias=bias)
+            return jnp.sum(jnp.sin(o) * 0.1)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_, name in zip(g_flash, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3,
+                err_msg=f"d{name} mismatch")
+
+    def test_no_bias_grads(self):
+        q, k, v, _ = _data(s=128, txt=0)
+
+        def f(q, k, v):
+            return jnp.sum(flash_attention_vjp(q, k, v, None, None,
+                                               128, 128) ** 2)
+
+        def f_ref(q, k, v):
+            return jnp.sum(sdpa_attention(q, k, v) ** 2)
+
+        g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=5e-3, atol=5e-3)
