@@ -63,3 +63,39 @@ class TestFlashVJP:
         for a, b_ in zip(g, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=5e-3, atol=5e-3)
+
+
+def test_dit_training_grad_through_flash():
+    """Full DiT flow-match loss differentiates through the flash VJP path
+    (tiny shapes, interpret mode) and matches the sdpa-mode gradients."""
+    from dataclasses import replace
+
+    from hunyuanvideo_efficiency_tpu.models.dit import init_dit_params
+    from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+    from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
+    from hunyuanvideo_efficiency_tpu.training import flow_match_loss
+
+    cfg = DiTConfig(hidden_size=128, heads_num=1, mm_double_blocks_depth=1,
+                    mm_single_blocks_depth=1, rope_dim_list=(32, 48, 48),
+                    text_states_dim=32, text_states_dim_2=16,
+                    attn_mode="sdpa")
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    x0 = jax.random.normal(ks[0], (1, 16, 2, 4, 4), jnp.float32)
+    noise = jax.random.normal(ks[1], x0.shape, jnp.float32)
+    t = jnp.full((1,), 0.4, jnp.float32)
+    pe = jax.random.normal(ks[2], (1, 8, 32), jnp.float32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    pe2 = jax.random.normal(ks[3], (1, 16), jnp.float32)
+    cos, sin = get_nd_rotary_pos_embed(cfg.rope_dim_list, (2, 2, 2),
+                                       theta=cfg.rope_theta)
+
+    def loss(params, mode):
+        return flow_match_loss(params, x0, noise, t, pe, mask, pe2,
+                               cos, sin, None, replace(cfg, attn_mode=mode))
+
+    g_sdpa = jax.grad(lambda p: loss(p, "sdpa"))(params)
+    g_flash = jax.grad(lambda p: loss(p, "flash"))(params)
+    for a, b in zip(jax.tree.leaves(g_sdpa), jax.tree.leaves(g_flash)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
