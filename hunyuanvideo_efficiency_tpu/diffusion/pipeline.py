@@ -224,7 +224,15 @@ class HunyuanVideoPipeline:
                  height // self.vae_scale_factor, width // self.vae_scale_factor)
         if latents is None:
             assert key is not None, "need a PRNG key when latents not given"
-            latents = jax.random.normal(key, shape, jnp.float32)
+            if isinstance(key, (list, tuple)):
+                # one key per video: each sample individually reproducible
+                # (reference: per-video torch.Generator, inference.py:534-566)
+                assert len(key) == batch, (len(key), batch)
+                latents = jnp.stack([
+                    jax.random.normal(k, shape[1:], jnp.float32)
+                    for k in key])
+            else:
+                latents = jax.random.normal(key, shape, jnp.float32)
         latents = latents.astype(jnp.float32)
 
         latents = denoise_latents(

@@ -265,7 +265,7 @@ class HunyuanVideoSampler(Inference):
                 guidance_scale=guidance_scale,
                 negative_prompt=negative_prompt[0],
                 num_videos_per_prompt=num_videos_per_prompt,
-                key=keys[0],
+                key=keys if len(keys) > 1 else keys[0],
                 embedded_guidance_scale=embedded_guidance_scale,
                 freqs_cis=(cos, sin),
                 n_tokens=n_tokens,

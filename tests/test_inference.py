@@ -116,3 +116,16 @@ class TestCLI:
     def test_bad_vae_name(self):
         with pytest.raises(ValueError, match="Invalid VAE name"):
             InferenceArgs(vae="bogus")
+
+
+class TestPerVideoSeeds:
+    def test_num_videos_individually_reproducible(self, sampler):
+        two = sampler.predict("x", 32, 32, 1, seed=5, infer_steps=1,
+                              num_videos_per_prompt=2)
+        one_a = sampler.predict("x", 32, 32, 1, seed=5, infer_steps=1)
+        one_b = sampler.predict("x", 32, 32, 1, seed=6, infer_steps=1)
+        assert two["seeds"] == [5, 6]
+        np.testing.assert_allclose(two["samples"][0], one_a["samples"][0],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(two["samples"][1], one_b["samples"][0],
+                                   rtol=1e-5, atol=1e-5)
