@@ -36,6 +36,7 @@ def causal_conv3d(
     kernel: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     stride: Tuple[int, int, int] = (1, 1, 1),
+    impl: str = "t2d",
 ) -> jnp.ndarray:
     """Causal conv over [B, T, H, W, C] with kernel [kt, kh, kw, Cin, Cout].
 
@@ -43,18 +44,44 @@ def causal_conv3d(
     and symmetric k//2 on H/W — exactly the reference's
     F.pad(..., (kw//2, kw//2, kh//2, kh//2, kt-1, 0), mode='replicate')
     (reference: hyvideo/vae/unet_causal_3d_blocks.py:68-75).
+
+    impl="t2d" (default) decomposes the 3D conv into kt temporally-shifted
+    2D NHWC convs summed together — identical math, but the [B*T, H, W, C]
+    2D conv is the layout XLA:TPU tiles best. impl="3d" is the direct
+    conv_general_dilated form.
     """
     kt, kh, kw = kernel.shape[0], kernel.shape[1], kernel.shape[2]
-    pad = [(0, 0), (kt - 1, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)]
-    if any(p != (0, 0) for p in pad):
-        x = jnp.pad(x, pad, mode="edge")
-    out = lax.conv_general_dilated(
-        x,
-        kernel.astype(x.dtype),
-        window_strides=stride,
-        padding="VALID",
-        dimension_numbers=_DN,
-    )
+    if impl == "3d" or kt == 1:
+        pad = [(0, 0), (kt - 1, 0), (kh // 2, kh // 2),
+               (kw // 2, kw // 2), (0, 0)]
+        if any(p != (0, 0) for p in pad):
+            x = jnp.pad(x, pad, mode="edge")
+        out = lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=stride,
+            padding="VALID", dimension_numbers=_DN)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+
+    st, sh, sw = stride
+    pad = [(0, 0), (kt - 1, 0), (kh // 2, kh // 2), (kw // 2, kw // 2),
+           (0, 0)]
+    xp = jnp.pad(x, pad, mode="edge")
+    b, tp, hp, wp, cin = xp.shape
+    t_out = (tp - kt) // st + 1
+    h_out = (hp - kh) // sh + 1
+    w_out = (wp - kw) // sw + 1
+    cout = kernel.shape[-1]
+
+    out = None
+    for dt in range(kt):
+        xs = xp[:, dt:dt + (t_out - 1) * st + 1:st]  # [B, T', Hp, Wp, Cin]
+        x2 = xs.reshape(b * t_out, hp, wp, cin)
+        y2 = lax.conv_general_dilated(
+            x2, kernel[dt].astype(x.dtype), window_strides=(sh, sw),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = y2 if out is None else out + y2
+    out = out.reshape(b, t_out, h_out, w_out, cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
