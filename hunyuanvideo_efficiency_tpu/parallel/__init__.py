@@ -11,3 +11,6 @@ __all__ = [
     "usp_joint_attention", "make_sp_denoise_fn", "make_sp_dit_forward",
     "shard_params",
 ]
+from .multihost import initialize_multihost, is_primary, local_batch_slice
+
+__all__ += ["initialize_multihost", "is_primary", "local_batch_slice"]
