@@ -26,14 +26,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import InferenceArgs, parse_vae_name
-from .constants import NEGATIVE_PROMPT, PRECISION_TO_TYPE, PROMPT_TEMPLATE
+from .constants import NEGATIVE_PROMPT, PRECISION_TO_TYPE
 from .diffusion.pipeline import HunyuanVideoPipeline
 from .diffusion.scheduler import FlowMatchDiscreteScheduler
 from .models.dit import init_dit_params
 from .models.dit_config import DiTConfig, load_dit_config
 from .models.text import build_text_encoders
 from .models.vae import AutoencoderKLCausal3D, init_vae_params
-from .models.vae_config import VAEConfig, load_vae_config
+from .models.vae_config import load_vae_config
 from .ops.quantization import quantize_dit_params_fp8
 from .ops.rope import get_nd_rotary_pos_embed
 from .parallel import ParallelConfig, make_mesh

@@ -22,7 +22,6 @@ Layout convention matches the reference pre-dispatch layout: [B, S, H, D]
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

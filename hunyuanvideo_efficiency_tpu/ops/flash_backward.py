@@ -24,7 +24,6 @@ of 8; 8 lanes of redundancy costs ~50 MB at 67k tokens vs. an unusable
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

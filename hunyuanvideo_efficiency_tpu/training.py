@@ -13,9 +13,6 @@ devices and params stay replicated.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax
