@@ -195,7 +195,8 @@ def _qkv_proj(p: Params, x: jnp.ndarray, heads: int, d: int):
 
 def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
                  vec: jnp.ndarray, txt_bias: jnp.ndarray,
-                 freqs_cis, cfg: DiTConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 freqs_cis, cfg: DiTConfig,
+                 token_grid=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(reference: models.py:132-252)."""
     b, img_len, h = img.shape
     heads, d = cfg.heads_num, cfg.head_dim
@@ -222,7 +223,8 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
     img_attn, txt_attn = joint_attention(
         img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
         mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
-        ring_axis=cfg.ring_axis)
+        ring_axis=cfg.ring_axis, token_grid=token_grid,
+        sta_tile=cfg.sta_tile, sta_window=cfg.sta_window)
 
     img = img + apply_gate(linear(p["img_attn_proj"], img_attn), i_gate1)
     img = img + apply_gate(
@@ -260,7 +262,7 @@ def _row_slice(p: Params, start: int, stop: Optional[int],
 
 def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
                  txt_len: int, txt_bias: jnp.ndarray, freqs_cis,
-                 cfg: DiTConfig) -> jnp.ndarray:
+                 cfg: DiTConfig, token_grid=None) -> jnp.ndarray:
     """Fused-linear parallel attn+MLP block (reference: models.py:326-393).
 
     The reference's fused linear1 -> [3h qkv | mlp_hidden] split and
@@ -287,7 +289,8 @@ def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
     img_attn, txt_attn = joint_attention(
         img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
         mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
-        ring_axis=cfg.ring_axis)
+        ring_axis=cfg.ring_axis, token_grid=token_grid,
+        sta_tile=cfg.sta_tile, sta_window=cfg.sta_window)
     attn = jnp.concatenate([img_attn, txt_attn], axis=1)
     p1_mlp = _col_slice(p["linear1"], h3, None)
     p2_attn = _row_slice(p["linear2"], 0, cfg.hidden_size, keep_bias=True)
@@ -375,13 +378,17 @@ def dit_forward(
     txt_bias = text_key_bias(text_mask) if text_mask is not None else None
     freqs_cis = (freqs_cos, freqs_sin) if freqs_cos is not None else None
 
+    token_grid = (tt, th, tw)
+
     def dbl(carry, bp):
         img, txt = carry
-        img, txt = double_block(bp, img, txt, vec, txt_bias, freqs_cis, cfg)
+        img, txt = double_block(bp, img, txt, vec, txt_bias, freqs_cis, cfg,
+                                token_grid)
         return (img, txt), None
 
     def sgl(xx, bp):
-        return single_block(bp, xx, vec, txt_len, txt_bias, freqs_cis, cfg), None
+        return single_block(bp, xx, vec, txt_len, txt_bias, freqs_cis, cfg,
+                            token_grid), None
 
     if cfg.remat_blocks:
         dbl = jax.checkpoint(dbl)

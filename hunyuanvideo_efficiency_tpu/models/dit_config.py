@@ -37,6 +37,11 @@ class DiTConfig:
     # Token-chunked MLP branches: bounds the [L, mlp_hidden] transient so
     # 720p-class token counts fit one chip. None = unchunked.
     mlp_chunk_tokens: Optional[int] = None
+    # Sliding Tile Attention (attn_mode="sta"; ops/sta.py): tile shape in
+    # (t, h, w) patch-grid units (product = kernel block) and the sliding
+    # window in tiles. Sparse attention — opt-in quality/speed trade.
+    sta_tile: Tuple[int, int, int] = (4, 8, 8)
+    sta_window: Tuple[int, int, int] = (3, 3, 3)
 
     @property
     def head_dim(self) -> int:

@@ -191,15 +191,30 @@ def joint_attention(
     ulysses_axis: Optional[str] = None,
     ring_axis: Optional[str] = None,
     scale: Optional[float] = None,
+    token_grid=None,
+    sta_tile=(4, 8, 8),
+    sta_window=(3, 3, 3),
 ):
     """Joint attention over [img | txt] tokens; returns (img_out, txt_out)
     each [B, S, H*D].
+
+    mode="sta" uses Sliding Tile Attention (ops/sta.py) for the img queries
+    — requires `token_grid` = the (T, H, W) patch-grid sizes.
 
     Single-device: concatenates and dispatches to `attention`. With axis
     names (inside shard_map): Ulysses x ring sequence parallelism — the
     TPU-native analog of the reference's parallel_attention
     (reference: hyvideo/modules/attenion.py:159-212).
     """
+    if mode == "sta":
+        if token_grid is None:
+            raise ValueError("attn_mode='sta' requires token_grid")
+        from .sta import sta_joint_attention
+
+        return sta_joint_attention(
+            img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
+            grid=tuple(token_grid), tile=tuple(sta_tile),
+            window=tuple(sta_window), scale=scale)
     if ulysses_axis or ring_axis:
         from ..parallel.sp_attention import usp_joint_attention
 

@@ -1,0 +1,293 @@
+"""Sliding Tile Attention (STA) — block-sparse local video attention.
+
+Implements the sliding-tile scheme of "Fast Video Generation with Sliding
+Tile Attention" (arXiv 2502.04507, PAPERS.md), which demonstrated large
+attention speedups on HunyuanVideo-class DiTs: video tokens are re-ordered
+into 3D tiles; each query tile attends only the key tiles inside a 3D
+sliding window around it (plus all text tokens), so attention cost drops
+from O(S^2) to O(S * window).
+
+TPU-native realization: the tile is exactly one Pallas block, and the
+sparse tile neighborhood is driven by a *scalar-prefetched* neighbor table —
+the BlockSpec index map reads `nbr[q_tile, slot]` to pick which key tile to
+DMA next, and border slots are skipped entirely with `pl.when` (no wasted
+FLOPs, no ragged masks inside blocks).
+
+Opt-in (attn_mode="sta"): sparse attention changes outputs; the paper shows
+quality holds with suitable windows, often keeping a few full-attention
+layers. Text queries keep FULL attention over [img|txt] via the dense flash
+kernel (they are ~256 tokens — negligible cost).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+# --------------------------------------------------------------------------
+# tile geometry (host-side, static per resolution)
+# --------------------------------------------------------------------------
+
+def _ceil(a, b):
+    return -(-a // b)
+
+
+@functools.lru_cache(maxsize=64)
+def tile_plan(grid: Tuple[int, int, int], tile: Tuple[int, int, int],
+              window: Tuple[int, int, int], txt_pad: int):
+    """Static STA plan for a (T, H, W) token grid.
+
+    Returns dict with:
+      perm / inv_perm: token permutation row-major -> tile-major (padded)
+      nbr:   [n_tiles, n_slots] int32 — key BLOCK index per slot; the img
+             tiles come first, the text block(s) last; -1 = skip
+      n_tiles, s_img_pad, tokens_per_tile
+    """
+    t, h, w = grid
+    tt, th, tw = tile
+    gt, gh, gw = _ceil(t, tt), _ceil(h, th), _ceil(w, tw)
+    tp, hp, wp = gt * tt, gh * th, gw * tw
+    n_tiles = gt * gh * gw
+    tokens_per_tile = tt * th * tw
+
+    # permutation: padded row-major index for each tile-major position
+    idx = np.arange(tp * hp * wp).reshape(tp, hp, wp)
+    tiles = idx.reshape(gt, tt, gh, th, gw, tw).transpose(0, 2, 4, 1, 3, 5)
+    perm = tiles.reshape(-1)  # tile-major -> padded-row-major src index
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(perm.size)
+
+    wt, wh, ww = window
+    n_img_slots = wt * wh * ww
+    n_txt_blocks = _ceil(txt_pad, tokens_per_tile)
+    n_slots = n_img_slots + n_txt_blocks
+    nbr = np.full((n_tiles, n_slots), -1, np.int32)
+    coords = np.stack(np.meshgrid(np.arange(gt), np.arange(gh),
+                                  np.arange(gw), indexing="ij"),
+                      -1).reshape(-1, 3)
+    for i, (a, b, c) in enumerate(coords):
+        s = 0
+        for da in range(-(wt // 2), wt // 2 + 1):
+            for db in range(-(wh // 2), wh // 2 + 1):
+                for dc in range(-(ww // 2), ww // 2 + 1):
+                    aa, bb, cc = a + da, b + db, c + dc
+                    if 0 <= aa < gt and 0 <= bb < gh and 0 <= cc < gw:
+                        nbr[i, s] = (aa * gh + bb) * gw + cc
+                    s += 1
+        for jblk in range(n_txt_blocks):
+            nbr[i, n_img_slots + jblk] = n_tiles + jblk
+    return {
+        "perm": perm, "inv_perm": inv_perm, "nbr": nbr,
+        "n_tiles": n_tiles, "tokens_per_tile": tokens_per_tile,
+        "padded_grid": (tp, hp, wp), "n_slots": n_slots,
+    }
+
+
+def _permute_tokens(x, grid, tile, plan):
+    """[B, S_img, H, D] row-major -> [B, S_pad, H, D] tile-major."""
+    b, s, hh, d = x.shape
+    tp, hp, wp = plan["padded_grid"]
+    t, h, w = grid
+    xg = x.reshape(b, t, h, w, hh * d)
+    xg = jnp.pad(xg, ((0, 0), (0, tp - t), (0, hp - h), (0, wp - w), (0, 0)))
+    flat = xg.reshape(b, tp * hp * wp, hh * d)
+    return flat[:, plan["perm"]]
+
+
+def _unpermute_tokens(y, grid, plan):
+    """[B, S_pad, HD] tile-major -> [B, S_img, HD] row-major."""
+    b, sp, hd = y.shape
+    tp, hp, wp = plan["padded_grid"]
+    t, h, w = grid
+    flat = y[:, plan["inv_perm"]]
+    xg = flat.reshape(b, tp, hp, wp, hd)
+    return xg[:, :t, :h, :w].reshape(b, t * h * w, hd)
+
+
+# --------------------------------------------------------------------------
+# kernel
+# --------------------------------------------------------------------------
+
+def _sta_kernel(nbr_ref, dma_ref, kb_ref, q_ref, k_ref, v_ref, o_ref,
+                m_scr, l_scr, acc_scr, *, scale: float, n_slots: int):
+    j = pl.program_id(3)
+    qi = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(nbr_ref[qi, j] >= 0)
+    def _fold():
+        q = q_ref[0].astype(jnp.float32) * scale
+        k = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + kb_ref[0, 0:1, :]
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        s_max = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, s_max)
+        p = jnp.exp(s - m_new[:, :1])
+        corr = jnp.exp(m_prev - m_new)
+        v = v_ref[0].astype(jnp.float32)
+        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        m_scr[...] = m_new
+        l_scr[...] = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * corr[:, :1] + pv
+
+    @pl.when(j == n_slots - 1)
+    def _finish():
+        denom = jnp.maximum(l_scr[...][:, :1], 1e-37)
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "block", "n_slots",
+                              "interpret"))
+def _sta_call(nbr, kb, q, kcat, vcat, heads, scale, block, n_slots,
+              interpret):
+    """q [B, S_img_pad, HD] tile-major; kcat/vcat [B, S_img_pad + S_txt_pad,
+    HD] (img tile-major ++ txt); kb [B, 8, S_cat] key bias; nbr int32
+    [n_tiles, n_slots] block indices (-1 skip)."""
+    b, sq, hd = q.shape
+    d = hd // heads
+    n_tiles = sq // block
+    grid = (b, heads, n_tiles, n_slots)
+
+    # clamp -1 to 0 for the DMA index map; the kernel skips those slots
+    nbr_dma = jnp.maximum(nbr, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_sta_kernel, scale=scale, n_slots=n_slots),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # nbr (for kernel), nbr_dma (for maps)
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 8, block),
+                    lambda bi, hi, qi, j, nbr_s, dma_s: (bi, 0, dma_s[qi, j])),
+                pl.BlockSpec(
+                    (1, block, d),
+                    lambda bi, hi, qi, j, nbr_s, dma_s: (bi, qi, hi)),
+                pl.BlockSpec(
+                    (1, block, d),
+                    lambda bi, hi, qi, j, nbr_s, dma_s: (bi, dma_s[qi, j], hi)),
+                pl.BlockSpec(
+                    (1, block, d),
+                    lambda bi, hi, qi, j, nbr_s, dma_s: (bi, dma_s[qi, j], hi)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block, d),
+                lambda bi, hi, qi, j, nbr_s, dma_s: (bi, qi, hi)),
+            scratch_shapes=[pltpu.VMEM((block, 128), jnp.float32),
+                            pltpu.VMEM((block, 128), jnp.float32),
+                            pltpu.VMEM((block, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(nbr, nbr_dma, kb, q, kcat, vcat)
+    return out
+
+
+def sta_joint_attention(
+    img_q: jnp.ndarray,  # [B, S_img, H, D] row-major (t, h, w) tokens
+    img_k: jnp.ndarray,
+    img_v: jnp.ndarray,
+    txt_q: jnp.ndarray,  # [B, Lt, H, D]
+    txt_k: jnp.ndarray,
+    txt_v: jnp.ndarray,
+    txt_bias: Optional[jnp.ndarray],  # [B, 1, 1, Lt]
+    grid: Tuple[int, int, int],
+    tile: Tuple[int, int, int] = (4, 8, 8),
+    window: Tuple[int, int, int] = (3, 3, 3),
+    scale: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """STA for img queries + dense flash for txt queries.
+
+    Returns (img_out [B, S_img, H*D], txt_out [B, Lt, H*D]).
+    """
+    from .attention import attention
+
+    b, s_img, hh, d = img_q.shape
+    lt = txt_q.shape[1]
+    scale = scale if scale is not None else d ** -0.5
+    interpret = jax.default_backend() != "tpu"
+
+    block = tile[0] * tile[1] * tile[2]
+    assert block % 8 == 0, "tile token count must be a multiple of 8"
+    txt_pad = _ceil(lt, block) * block
+    plan = tile_plan(tuple(grid), tuple(tile), tuple(window), txt_pad)
+    nbr = jnp.asarray(plan["nbr"])
+    n_slots = plan["n_slots"]
+
+    qp = _permute_tokens(img_q, grid, tile, plan)   # [B, S_pad, HD]
+    kp = _permute_tokens(img_k, grid, tile, plan)
+    vp = _permute_tokens(img_v, grid, tile, plan)
+    s_pad = qp.shape[1]
+
+    txt_k_f = txt_k.reshape(b, lt, hh * d)
+    txt_v_f = txt_v.reshape(b, lt, hh * d)
+    if txt_pad != lt:
+        txt_k_f = jnp.pad(txt_k_f, ((0, 0), (0, txt_pad - lt), (0, 0)))
+        txt_v_f = jnp.pad(txt_v_f, ((0, 0), (0, txt_pad - lt), (0, 0)))
+    kcat = jnp.concatenate([kp, txt_k_f], axis=1)
+    vcat = jnp.concatenate([vp, txt_v_f], axis=1)
+
+    # key bias over the concatenated keys: padded img tokens invalid; text
+    # bias from the mask; txt padding invalid
+    tgrid = plan["padded_grid"]
+    tvalid = np.zeros(tgrid, np.float32)
+    tvalid[:grid[0], :grid[1], :grid[2]] = 1.0
+    img_bias = np.where(tvalid.reshape(-1)[plan["perm"]] > 0, 0.0, NEG_INF)
+    img_bias = jnp.broadcast_to(
+        jnp.asarray(img_bias, jnp.float32)[None], (b, s_pad))
+    tb = (txt_bias.reshape(b, lt).astype(jnp.float32) if txt_bias is not None
+          else jnp.zeros((b, lt), jnp.float32))
+    if txt_pad != lt:
+        tb = jnp.pad(tb, ((0, 0), (0, txt_pad - lt)), constant_values=NEG_INF)
+    kb = jnp.concatenate([img_bias, tb], axis=1)
+    kb = jnp.broadcast_to(kb[:, None, :], (b, 8, kb.shape[1]))
+
+    img_out_p = _sta_call(nbr, kb, qp, kcat, vcat, hh, float(scale), block,
+                          n_slots, interpret)
+    img_out = _unpermute_tokens(img_out_p, grid, plan)
+
+    # text queries: dense attention over [img | txt] (row-major keys)
+    full_kb = jnp.concatenate(
+        [jnp.zeros((b, 1, 1, s_img), jnp.float32),
+         txt_bias.astype(jnp.float32) if txt_bias is not None
+         else jnp.zeros((b, 1, 1, lt), jnp.float32)], axis=-1)
+    k_all = jnp.concatenate([img_k, txt_k], axis=1)
+    v_all = jnp.concatenate([img_v, txt_v], axis=1)
+    txt_out = attention(txt_q, k_all, v_all, mode="sdpa", key_bias=full_kb,
+                        scale=scale)
+    return img_out, txt_out
+
+
+def sta_reference_mask(grid, tile, window, s_img):
+    """Dense boolean mask [S_img, S_img] equivalent to the STA pattern
+    (oracle for tests): q attends k iff their tiles are within the window."""
+    t, h, w = grid
+    tt, th, tw = tile
+    wt, wh, ww = window
+    coords = np.stack(np.meshgrid(np.arange(t), np.arange(h), np.arange(w),
+                                  indexing="ij"), -1).reshape(-1, 3)
+    tiles = coords // np.array([tt, th, tw])
+    dq = tiles[:, None, :] - tiles[None, :, :]
+    half = np.array([wt // 2, wh // 2, ww // 2])
+    return (np.abs(dq) <= half).all(-1)
