@@ -104,16 +104,18 @@ def build_fp8_params(cfg, dtype):
     return params
 
 
-def bench_step(height, width, frames, repeats=3):
+def bench_step(height, width, frames, repeats=3, sta=False):
     import jax
     import jax.numpy as jnp
     from functools import partial
 
     from hunyuanvideo_efficiency_tpu.models.dit import dit_forward
     from hunyuanvideo_efficiency_tpu.models.dit_config import load_dit_config
+
     from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
 
-    cfg = load_dit_config("HYVideo-T/2-cfgdistill", attn_mode="flash",
+    cfg = load_dit_config("HYVideo-T/2-cfgdistill",
+                          attn_mode="sta" if sta else "flash",
                           mlp_chunk_tokens=8192)
     params = build_fp8_params(cfg, jnp.bfloat16)
 
@@ -156,12 +158,14 @@ REF_SEC = 38.1
 REF_TOKENS = 118800 + 256
 
 
-def run_one(height, width, frames):
-    sec, n_tok, hidden = bench_step(height, width, frames)
+def run_one(height, width, frames, sta=False):
+    sec, n_tok, hidden = bench_step(height, width, frames, sta=sta)
     ref_equiv = REF_SEC * (model_flops(n_tok, hidden)
                            / model_flops(REF_TOKENS, hidden))
+    tag = " sta" if sta else ""
     print(json.dumps({
-        "metric": f"sec/denoise-step 13B fp8 {width}x{height}x{frames}f 1chip",
+        "metric": f"sec/denoise-step 13B fp8 {width}x{height}x{frames}f"
+                  f"{tag} 1chip",
         "value": round(sec, 3),
         "unit": "s",
         "vs_baseline": round(ref_equiv / sec, 3),
@@ -190,6 +194,7 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--config":
-        run_one(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+        run_one(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+                sta="--sta" in sys.argv)
     else:
         main()
