@@ -27,11 +27,28 @@ def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
     return float(10.0 * np.log10(data_range ** 2 / mse))
 
 
+def _native_core():
+    from ..native import load_metrics_core
+
+    return load_metrics_core()
+
+
+def _is_u8(a, b):
+    return (a.dtype == np.uint8 and b.dtype == np.uint8 and a.ndim == 4)
+
+
 def psnr_video(a: np.ndarray, b: np.ndarray, data_range: float = 255.0
                ) -> float:
     """[T, H, W, C]: per-frame PSNR averaged (reference computes per frame,
-    calculate_psnr.py:6-15)."""
+    calculate_psnr.py:6-15). uint8 inputs use the threaded C++ core
+    (native/metrics_core.cpp) when the toolchain is available."""
     assert a.shape == b.shape, f"{a.shape} vs {b.shape}"
+    if _is_u8(a, b):
+        core = _native_core()
+        if core is not None:
+            vals = core.psnr_frames(a, b, data_range)
+            finite = vals[np.isfinite(vals)]
+            return float(finite.mean()) if finite.size else float("inf")
     vals = [psnr(a[t], b[t], data_range) for t in range(a.shape[0])]
     finite = [v for v in vals if np.isfinite(v)]
     return float(np.mean(finite)) if finite else float("inf")
@@ -74,8 +91,12 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
 
 def ssim_video(a: np.ndarray, b: np.ndarray, data_range: float = 255.0
                ) -> float:
-    """[T, H, W, C]: per-frame SSIM averaged."""
+    """[T, H, W, C]: per-frame SSIM averaged (threaded C++ core for uint8)."""
     assert a.shape == b.shape, f"{a.shape} vs {b.shape}"
+    if _is_u8(a, b):
+        core = _native_core()
+        if core is not None:
+            return float(core.ssim_frames(a, b, data_range).mean())
     return float(np.mean([ssim(a[t], b[t], data_range)
                           for t in range(a.shape[0])]))
 

@@ -72,3 +72,31 @@ class TestCollectEnv:
         env = collect_env()
         assert "JAX" in env and "Default backend" in env
         assert env["numpy"] != "not installed"
+
+
+class TestNativeMetricsCore:
+    def test_parity_with_python(self):
+        from hunyuanvideo_efficiency_tpu.native import load_metrics_core
+        from hunyuanvideo_efficiency_tpu.evaluation.metrics import psnr, ssim
+
+        core = load_metrics_core()
+        if core is None:
+            pytest.skip("no C++ toolchain")
+        rng = np.random.RandomState(1)
+        a = rng.randint(0, 255, (3, 48, 64, 3), np.uint8)
+        b = np.clip(a + rng.randint(-30, 30, a.shape), 0, 255).astype(np.uint8)
+        np.testing.assert_allclose(
+            core.psnr_frames(a, b),
+            [psnr(a[t], b[t]) for t in range(3)], rtol=1e-12)
+        np.testing.assert_allclose(
+            core.ssim_frames(a, b),
+            [ssim(a[t], b[t]) for t in range(3)], rtol=1e-10)
+
+    def test_video_metrics_route_through_native(self):
+        from hunyuanvideo_efficiency_tpu.evaluation import (psnr_video,
+                                                            ssim_video)
+
+        rng = np.random.RandomState(2)
+        a = rng.randint(0, 255, (2, 33, 33, 3), np.uint8)
+        assert psnr_video(a, a) == float("inf")
+        assert ssim_video(a, a) == pytest.approx(1.0)
