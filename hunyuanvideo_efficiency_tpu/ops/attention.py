@@ -209,6 +209,11 @@ def joint_attention(
     if mode == "sta":
         if token_grid is None:
             raise ValueError("attn_mode='sta' requires token_grid")
+        if ulysses_axis or ring_axis:
+            raise NotImplementedError(
+                "STA under sequence parallelism is not supported yet: the "
+                "tile neighborhood spans shard boundaries; use attn_mode="
+                "'flash' for multi-chip runs")
         from .sta import sta_joint_attention
 
         return sta_joint_attention(
