@@ -380,23 +380,41 @@ def dit_forward(
 
     token_grid = (tt, th, tw)
 
-    def dbl(carry, bp):
-        img, txt = carry
-        img, txt = double_block(bp, img, txt, vec, txt_bias, freqs_cis, cfg,
-                                token_grid)
-        return (img, txt), None
+    def make_dbl(block_cfg):
+        def dbl(carry, bp):
+            img, txt = carry
+            img, txt = double_block(bp, img, txt, vec, txt_bias, freqs_cis,
+                                    block_cfg, token_grid)
+            return (img, txt), None
+        return jax.checkpoint(dbl) if cfg.remat_blocks else dbl
 
-    def sgl(xx, bp):
-        return single_block(bp, xx, vec, txt_len, txt_bias, freqs_cis, cfg,
-                            token_grid), None
+    def make_sgl(block_cfg):
+        def sgl(xx, bp):
+            return single_block(bp, xx, vec, txt_len, txt_bias, freqs_cis,
+                                block_cfg, token_grid), None
+        return jax.checkpoint(sgl) if cfg.remat_blocks else sgl
 
-    if cfg.remat_blocks:
-        dbl = jax.checkpoint(dbl)
-        sgl = jax.checkpoint(sgl)
+    def run_stack(carry, stack, make_fn, n_dense):
+        """Scan stacked blocks; under STA, the first n_dense blocks run
+        with dense flash attention (sta_dense_*_blocks, paper-style
+        quality anchor layers) via a split scan."""
+        if cfg.attn_mode == "sta" and n_dense > 0:
+            from dataclasses import replace as _replace
 
-    (img, txt), _ = jax.lax.scan(dbl, (img, txt), params["double_blocks"])
+            dense_cfg = _replace(cfg, attn_mode="auto")
+            head = jax.tree.map(lambda x: x[:n_dense], stack)
+            tail = jax.tree.map(lambda x: x[n_dense:], stack)
+            carry, _ = jax.lax.scan(make_fn(dense_cfg), carry, head)
+            carry, _ = jax.lax.scan(make_fn(cfg), carry, tail)
+            return carry
+        carry, _ = jax.lax.scan(make_fn(cfg), carry, stack)
+        return carry
+
+    (img, txt) = run_stack((img, txt), params["double_blocks"], make_dbl,
+                           cfg.sta_dense_double_blocks)
     xx = jnp.concatenate([img, txt], axis=1)
-    xx, _ = jax.lax.scan(sgl, xx, params["single_blocks"])
+    xx = run_stack(xx, params["single_blocks"], make_sgl,
+                   cfg.sta_dense_single_blocks)
     img = xx[:, :img_len]
 
     # final layer (reference: mlp_layers.py:114-118)

@@ -42,6 +42,10 @@ class DiTConfig:
     # window in tiles. Sparse attention — opt-in quality/speed trade.
     sta_tile: Tuple[int, int, int] = (4, 8, 8)
     sta_window: Tuple[int, int, int] = (3, 3, 3)
+    # First N double/single blocks keep DENSE attention under attn_mode=
+    # "sta" (the paper keeps a few full-attention layers for quality).
+    sta_dense_double_blocks: int = 0
+    sta_dense_single_blocks: int = 0
 
     @property
     def head_dim(self) -> int:
