@@ -230,3 +230,29 @@ class TestAnalysis:
         static = np.repeat(noise[:1], 4, axis=0)
         assert temporal_entropy_rate(static) == 0.0
         assert temporal_entropy_rate(noise) > 1.0
+
+
+class TestLPIPSConverter:
+    def test_convert_torchvision_layout(self):
+        from hunyuanvideo_efficiency_tpu.evaluation import (
+            convert_lpips_weights, lpips_video)
+
+        rng = np.random.RandomState(0)
+        geom = [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3),
+                (256, 256, 3)]
+        idx = [0, 3, 6, 8, 10]
+        alex_sd = {}
+        for (cout, cin, k), i in zip(geom, idx):
+            alex_sd[f"features.{i}.weight"] = (
+                rng.randn(cout, cin, k, k).astype(np.float32) * 0.05)
+            alex_sd[f"features.{i}.bias"] = np.zeros(cout, np.float32)
+        lin_sd = {f"lin{i}.model.1.weight":
+                  np.abs(rng.randn(1, c, 1, 1)).astype(np.float32) * 0.01
+                  for i, c in enumerate((64, 192, 384, 256, 256))}
+        params = convert_lpips_weights(alex_sd, lin_sd)
+        assert params["features"][0]["kernel"].shape == (11, 11, 3, 64)
+        assert params["lins"][2]["kernel"].shape == (1, 1, 384, 1)
+        a = rng.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+        assert lpips_video(params, a, a) == pytest.approx(0.0, abs=1e-6)
+        b = np.clip(a + rng.randint(-50, 50, a.shape), 0, 255).astype(np.uint8)
+        assert lpips_video(params, a, b) > 0
