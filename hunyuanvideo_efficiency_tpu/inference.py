@@ -97,8 +97,19 @@ class Inference:
         dtype = PRECISION_TO_TYPE[args.precision]
         cfg = load_dit_config(args.model, rope_theta=float(args.rope_theta))
 
+        dit_npz = Path(args.model_base) / "dit.npz"
         dit_path = cls.resolve_dit_weight(args)
-        if dit_path is not None:
+        if dit_npz.exists():
+            # converted artifact (convert_checkpoints.py); fp8 leaves keep
+            # their dtype, everything else casts to the requested precision
+            from .utils.checkpoint import load_params_npz
+
+            params = load_params_npz(str(dit_npz))
+            params = jax.tree.map(
+                lambda x: jnp.asarray(x) if x.dtype.kind == "V"
+                or "float8" in str(x.dtype) else jnp.asarray(x, dtype),
+                params)
+        elif dit_path is not None:
             from .utils.checkpoint import (convert_dit_state_dict,
                                            load_torch_state_dict)
 
@@ -116,8 +127,13 @@ class Inference:
 
         vae_cfg = load_vae_config(args.vae)
         vae_dtype = PRECISION_TO_TYPE[args.vae_precision]
+        vae_npz = Path(args.model_base) / "vae.npz"
         vae_path = Path(args.model_base) / "hunyuan-video-t2v-720p/vae/pytorch_model.pt"
-        if vae_path.exists():
+        if vae_npz.exists():
+            from .utils.checkpoint import load_params_npz
+
+            vparams = jax.tree.map(jnp.asarray, load_params_npz(str(vae_npz)))
+        elif vae_path.exists():
             from .utils.checkpoint import (convert_vae_state_dict,
                                            load_torch_state_dict)
 

@@ -358,13 +358,36 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
     return listify(tree)
 
 
+_DTYPE_TAG = "::dtype="
+
+
 def save_params_npz(path: str, params: Params) -> None:
-    np.savez(path, **_flatten(params))
+    """Flat .npz; exotic dtypes (bfloat16, float8_*) are stored as raw bytes
+    with the dtype recorded in the key (np.savez would silently degrade
+    them to void types)."""
+    flat = {}
+    for k, v in _flatten(params).items():
+        v = np.asarray(v)
+        if v.dtype.kind == "V" or "bfloat16" in str(v.dtype) \
+                or "float8" in str(v.dtype):
+            flat[f"{k}{_DTYPE_TAG}{v.dtype}"] = v.view(np.uint8)
+        else:
+            flat[k] = v
+    np.savez(path, **flat)
 
 
 def load_params_npz(path: str) -> Params:
+    import ml_dtypes
+
+    flat = {}
     with np.load(path) as z:
-        return _unflatten({k: z[k] for k in z.files})
+        for k in z.files:
+            v = z[k]
+            if _DTYPE_TAG in k:
+                k, dtype_name = k.split(_DTYPE_TAG)
+                v = v.view(np.dtype(getattr(ml_dtypes, dtype_name)))
+            flat[k] = v
+    return _unflatten(flat)
 
 
 def coverage_report(converted: Params, reference_tree: Params
