@@ -59,11 +59,11 @@ def tile_plan(grid: Tuple[int, int, int], tile: Tuple[int, int, int],
     tokens_per_tile = tt * th * tw
 
     # permutation: padded row-major index for each tile-major position
-    idx = np.arange(tp * hp * wp).reshape(tp, hp, wp)
+    idx = np.arange(tp * hp * wp, dtype=np.int32).reshape(tp, hp, wp)
     tiles = idx.reshape(gt, tt, gh, th, gw, tw).transpose(0, 2, 4, 1, 3, 5)
     perm = tiles.reshape(-1)  # tile-major -> padded-row-major src index
     inv_perm = np.empty_like(perm)
-    inv_perm[perm] = np.arange(perm.size)
+    inv_perm[perm] = np.arange(perm.size, dtype=np.int32)
 
     wt, wh, ww = window
     n_img_slots = wt * wh * ww
