@@ -219,9 +219,11 @@ class TOpsConfig:
 # Name-keyed registry (reference encodes the arch in the VAE name
 # "<t><s><s>-<c>c-<tag>", hyvideo/config.py:384-397; the full config is the
 # diffusers JSON in the checkpoint dir, defaults above).
+# Only the x4 temporal architecture exists (the reference raises for any
+# other time_compression_ratio, hyvideo/vae/vae.py:77; "888" names are
+# handled at the pipeline's latent-frame math only).
 VAE_CONFIGS = {
     "884-16c-hy": VAEConfig(),
-    "888-16c-hy": VAEConfig(time_compression_ratio=8),
 }
 
 
