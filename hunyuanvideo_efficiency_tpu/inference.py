@@ -155,6 +155,10 @@ class Inference:
             hidden_state_skip_layer=args.hidden_state_skip_layer,
             apply_final_norm=args.apply_final_norm,
             dtype=PRECISION_TO_TYPE[args.text_encoder_precision])
+        # smaller tower configs (tests / distilled encoders)
+        for key in ("llm_config", "clip_config"):
+            if key in kwargs:
+                te_kwargs[key] = kwargs.pop(key)
         llm_dir = Path(args.model_base) / "text_encoder"
         clip_dir = Path(args.model_base) / "text_encoder_2"
         if llm_dir.exists():
