@@ -107,3 +107,28 @@ def test_from_pretrained_fp8(ckpt_dir):
     assert k.dtype == jnp.float8_e4m3fn
     out = sampler.predict("a cat", 32, 32, 1, seed=1, infer_steps=1)
     assert np.isfinite(out["samples"]).all()
+
+
+def test_from_pretrained_npz_artifacts(ckpt_dir, tmp_path):
+    """Converted dit.npz / vae.npz artifacts load preferentially."""
+    import jax
+    import jax.numpy as jnp
+
+    from hunyuanvideo_efficiency_tpu.utils.checkpoint import save_params_npz
+
+    base = _make_sampler(ckpt_dir)  # torch path, ground truth
+    out = tmp_path / "converted"
+    out.mkdir()
+    save_params_npz(str(out / "dit.npz"),
+                    jax.tree.map(np.asarray, base.transformer_params))
+    save_params_npz(str(out / "vae.npz"),
+                    jax.tree.map(np.asarray, base.vae.params))
+    sampler = _make_sampler(out)
+    a = jax.tree.leaves(base.transformer_params)
+    b = jax.tree.leaves(sampler.transformer_params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32),
+                                   rtol=1e-2, atol=1e-3)
+    res = sampler.predict("a cat", 32, 32, 1, seed=2, infer_steps=1)
+    assert np.isfinite(res["samples"]).all()
