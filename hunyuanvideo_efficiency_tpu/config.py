@@ -126,6 +126,10 @@ class InferenceArgs:
     # ---- TPU-native additions (no reference analog) ----
     mesh_shape: Optional[str] = None  # e.g. "sp:8" or "dp:2,sp:4"
     profile_dir: Optional[str] = None
+    attn_mode: str = "auto"  # auto | flash | sdpa | chunked | sta
+    sta_window: Tuple[int, int, int] = (3, 3, 3)
+    sta_dense_blocks: int = 0  # dense-attention prefix depth under sta
+    mlp_chunk_tokens: Optional[int] = 8192
 
     def __post_init__(self):
         self.vae_info = parse_vae_name(self.vae)
@@ -217,6 +221,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--ring-degree", type=int, default=d.ring_degree)
     g.add_argument("--mesh-shape", type=str, default=None)
     g.add_argument("--profile-dir", type=str, default=None)
+    g.add_argument("--attn-mode", type=str, default=d.attn_mode,
+                   choices=["auto", "flash", "sdpa", "chunked", "sta"])
+    g.add_argument("--sta-window", type=int, nargs=3,
+                   default=list(d.sta_window))
+    g.add_argument("--sta-dense-blocks", type=int, default=d.sta_dense_blocks)
+    g.add_argument("--mlp-chunk-tokens", type=int, default=d.mlp_chunk_tokens)
 
     return p
 
@@ -230,4 +240,6 @@ def parse_args(argv: Optional[List[str]] = None) -> InferenceArgs:
         if len(vs) == 1:
             vs = vs * 2
         kwargs["video_size"] = tuple(vs)
+    if "sta_window" in kwargs:
+        kwargs["sta_window"] = tuple(kwargs["sta_window"])
     return InferenceArgs(**kwargs)

@@ -95,7 +95,13 @@ class Inference:
         mesh = make_mesh(pcfg) if pcfg.sp_degree > 1 else None
 
         dtype = PRECISION_TO_TYPE[args.precision]
-        cfg = load_dit_config(args.model, rope_theta=float(args.rope_theta))
+        cfg = load_dit_config(
+            args.model, rope_theta=float(args.rope_theta),
+            attn_mode=getattr(args, "attn_mode", "auto"),
+            sta_window=tuple(getattr(args, "sta_window", (3, 3, 3))),
+            sta_dense_double_blocks=getattr(args, "sta_dense_blocks", 0),
+            sta_dense_single_blocks=getattr(args, "sta_dense_blocks", 0),
+            mlp_chunk_tokens=getattr(args, "mlp_chunk_tokens", 8192))
 
         dit_npz = Path(args.model_base) / "dit.npz"
         dit_path = cls.resolve_dit_weight(args)
