@@ -90,9 +90,23 @@ class Inference:
         if pretrained_model_path is not None:
             args.model_base = str(pretrained_model_path)
 
-        pcfg = ParallelConfig(ulysses_degree=args.ulysses_degree,
-                              ring_degree=args.ring_degree)
-        mesh = make_mesh(pcfg) if pcfg.sp_degree > 1 else None
+        if getattr(args, "mesh_shape", None):
+            # "--mesh-shape dp:2,ulysses:2,ring:2" (sp: alias for ulysses)
+            degrees = {"dp": 1, "ulysses": 1, "ring": 1}
+            for part in args.mesh_shape.split(","):
+                name, _, val = part.partition(":")
+                name = {"sp": "ulysses"}.get(name.strip(), name.strip())
+                if name not in degrees:
+                    raise ValueError(f"Unknown mesh axis {name!r} in "
+                                     f"--mesh-shape {args.mesh_shape!r}")
+                degrees[name] = int(val)
+            pcfg = ParallelConfig(dp_degree=degrees["dp"],
+                                  ulysses_degree=degrees["ulysses"],
+                                  ring_degree=degrees["ring"])
+        else:
+            pcfg = ParallelConfig(ulysses_degree=args.ulysses_degree,
+                                  ring_degree=args.ring_degree)
+        mesh = make_mesh(pcfg) if pcfg.world_size > 1 else None
 
         dtype = PRECISION_TO_TYPE[args.precision]
         cfg = load_dit_config(

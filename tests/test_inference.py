@@ -129,3 +129,45 @@ class TestPerVideoSeeds:
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(two["samples"][1], one_b["samples"][0],
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestMeshShape:
+    def test_mesh_shape_parsing(self):
+        from hunyuanvideo_efficiency_tpu.inference import Inference
+        from hunyuanvideo_efficiency_tpu.models.text import (CLIPTextConfig,
+                                                             LlamaConfig)
+
+        import hunyuanvideo_efficiency_tpu.models.dit_config as dc
+
+        dc.HUNYUAN_VIDEO_CONFIG["tiny-mesh-test"] = TINY_DIT
+        args = InferenceArgs(model="tiny-mesh-test",
+                             mesh_shape="dp:2,sp:2,ring:2",
+                             text_states_dim=64, text_states_dim_2=48)
+        inf = Inference.from_pretrained(
+            "/tmp/nonexistent-mesh-test", args=args, allow_random_init=True,
+            llm_config=LlamaConfig(vocab_size=64, hidden_size=32,
+                                   intermediate_size=48,
+                                   num_hidden_layers=1,
+                                   num_attention_heads=4,
+                                   num_key_value_heads=2),
+            clip_config=CLIPTextConfig(vocab_size=64, hidden_size=24,
+                                       intermediate_size=48,
+                                       num_hidden_layers=1,
+                                       num_attention_heads=4,
+                                       max_position_embeddings=77,
+                                       eos_token_id=63))
+        assert inf.pcfg.dp_degree == 2
+        assert inf.pcfg.ulysses_degree == 2
+        assert inf.pcfg.ring_degree == 2
+        assert inf.mesh is not None and inf.mesh.devices.size == 8
+
+    def test_bad_axis_raises(self):
+        from hunyuanvideo_efficiency_tpu.inference import Inference
+
+        import hunyuanvideo_efficiency_tpu.models.dit_config as dc
+
+        dc.HUNYUAN_VIDEO_CONFIG["tiny-mesh-test"] = TINY_DIT
+        args = InferenceArgs(model="tiny-mesh-test", mesh_shape="bogus:2")
+        with pytest.raises(ValueError, match="Unknown mesh axis"):
+            Inference.from_pretrained("/tmp/x", args=args,
+                                      allow_random_init=True)
