@@ -172,16 +172,46 @@ def run_one(height, width, frames, sta=False):
     }))
 
 
+def probe_device(timeout_s: int = 600) -> bool:
+    """Fast health check: a trivial matmul in a subprocess. The tunneled TPU
+    backend hangs indefinitely (not errors) when the relay is down, so an
+    unguarded bench attempt would burn its whole 1 h timeout; this bounds the
+    no-hardware case to `timeout_s`."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "x = jnp.ones((128, 128));"
+             "print('PROBE_OK', float((x @ x)[0, 0]))"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return "PROBE_OK" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     """Try configs largest-first; each attempt runs in a fresh subprocess so
     a failed (OOM) attempt cannot strand HBM for the next one."""
     import subprocess
 
+    if not probe_device():
+        raise SystemExit(
+            "bench: device unreachable (trivial matmul did not complete; "
+            "TPU relay down?) — refusing to start 1h bench attempts")
+
     attempts = [(544, 960, 129), (544, 960, 65), (384, 640, 129)]
     for (hh, ww, ff) in attempts:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--config", str(hh), str(ww), str(ff)],
-            capture_output=True, text=True, timeout=3600)
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__,
+                 "--config", str(hh), str(ww), str(ff)],
+                capture_output=True, text=True, timeout=3600)
+        except subprocess.TimeoutExpired:
+            print(f"bench config {ww}x{hh}x{ff} timed out after 3600s",
+                  file=sys.stderr)
+            continue
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 print(line)
