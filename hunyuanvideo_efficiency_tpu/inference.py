@@ -165,8 +165,12 @@ class Inference:
         else:
             raise FileNotFoundError(f"No VAE checkpoint at {vae_path}")
         # fp16 storage like the reference; VAE compute upcasts per-op as
-        # needed (reference: vae_precision fp16, hyvideo/config.py:64-69)
-        vae = AutoencoderKLCausal3D(vae_cfg, vparams, dtype=vae_dtype)
+        # needed (reference: vae_precision fp16, hyvideo/config.py:64-69).
+        # The mesh shards tiled encode/decode batches across all devices
+        # (the reference runs the VAE replicated on every rank instead,
+        # hyvideo/inference.py "Text encoders, VAE run replicated").
+        vae = AutoencoderKLCausal3D(vae_cfg, vparams, dtype=vae_dtype,
+                                    mesh=mesh)
 
         te_kwargs: Dict[str, Any] = dict(
             text_len=args.text_len, text_len_2=args.text_len_2,

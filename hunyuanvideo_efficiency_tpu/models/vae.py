@@ -350,7 +350,8 @@ class AutoencoderKLCausal3D:
     """
 
     def __init__(self, cfg: VAEConfig, params: Params,
-                 tops: Optional[TOpsConfig] = None, dtype=jnp.float32):
+                 tops: Optional[TOpsConfig] = None, dtype=jnp.float32,
+                 mesh: Optional[jax.sharding.Mesh] = None):
         self.cfg = cfg
         self.params = jax.tree.map(lambda x: x.astype(dtype), params)
         self.tops = tops
@@ -363,6 +364,16 @@ class AutoencoderKLCausal3D:
         # ~1 GB/tile at full res, so keep the decode group small
         self.encode_tile_batch = 8
         self.decode_tile_batch = 2
+        # With a mesh, tile batches are sharded data-parallel over ALL mesh
+        # devices (tiles are independent; the reference instead decodes
+        # tile-by-tile on one GPU, autoencoder_kl_causal_3d.py:422-469).
+        # Params replicate so every device can run any tile.
+        self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.params = jax.device_put(
+                self.params, NamedSharding(self.mesh, PartitionSpec()))
         self._enc = jax.jit(partial(encoder_forward, cfg=cfg, tops=tops))
         self._dec = jax.jit(partial(decoder_forward, cfg=cfg, tops=tops))
 
@@ -397,20 +408,39 @@ class AutoencoderKLCausal3D:
         (the per-dispatch overhead and small-batch conv inefficiency both
         hurt the reference-style tile-by-tile loop). `tile_batch` bounds the
         group size so decoder activations stay within HBM.
+
+        With `self.mesh`, each dispatch takes `tile_batch` tiles PER DEVICE,
+        sharded on the stacked batch axis; tiles are independent, so the
+        conv net partitions batch-parallel with zero collectives and per-
+        device memory stays at the single-device tile_batch bound.
         """
         from collections import defaultdict
 
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
         groups = defaultdict(list)
         for idx, t in enumerate(tiles):
             groups[t.shape].append(idx)
         out = [None] * len(tiles)
-        for _, idxs in groups.items():
-            for s in range(0, len(idxs), tile_batch):
-                chunk = idxs[s:s + tile_batch]
-                stacked = jnp.concatenate([tiles[i] for i in chunk], axis=0)
+        for shape, idxs in groups.items():
+            per_dispatch = tile_batch * n_dev
+            for s in range(0, len(idxs), per_dispatch):
+                chunk = idxs[s:s + per_dispatch]
+                batch = [tiles[i] for i in chunk]
+                if n_dev > 1:
+                    # pad with copies so the row count splits evenly over
+                    # the mesh (each tile contributes `shape[0]` rows)
+                    while (len(batch) * shape[0]) % n_dev:
+                        batch.append(batch[-1])
+                stacked = jnp.concatenate(batch, axis=0)
+                if n_dev > 1:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    spec = PartitionSpec(tuple(self.mesh.axis_names))
+                    stacked = jax.device_put(
+                        stacked, NamedSharding(self.mesh, spec))
                 res = fn(stacked)
                 for i, p in zip(chunk,
-                                jnp.split(res, len(chunk), axis=0)):
+                                jnp.split(res, len(batch), axis=0)):
                     out[i] = p
         return out
 

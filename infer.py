@@ -29,13 +29,15 @@ def parse_args():
     p.add_argument("--max-files", type=int, default=None)
     p.add_argument("--mp4", action="store_true")
     p.add_argument("--enable-tiling", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard tiled encode/decode batches over all devices")
     p.add_argument("--random-init", action="store_true",
                    help="random VAE weights (smoke tests, no checkpoint)")
     return p.parse_args()
 
 
 def load_vae(vae_type, vae_precision, vae_path, t_ops_config_path=None,
-             test=False, random_init=False, logger=None):
+             test=False, random_init=False, logger=None, data_parallel=False):
     """(reference: hyvideo/vae/__init__.py:70-127). Returns
     (vae, path, spatial_ratio, time_ratio)."""
     import jax
@@ -66,8 +68,17 @@ def load_vae(vae_type, vae_precision, vae_path, t_ops_config_path=None,
     else:
         raise FileNotFoundError(f"No VAE checkpoint at {ckpt}")
 
+    mesh = None
+    if data_parallel and len(jax.devices()) > 1:
+        from jax.sharding import Mesh
+
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs, ("vae_dp",))
+        if logger:
+            logger.info(f"VAE tile batches sharded over {devs.size} devices")
     vae = AutoencoderKLCausal3D(cfg, params, tops=tops,
-                                dtype=PRECISION_TO_TYPE[vae_precision])
+                                dtype=PRECISION_TO_TYPE[vae_precision],
+                                mesh=mesh)
     return vae, vae_path, cfg.spatial_compression_ratio, \
         cfg.time_compression_ratio
 
@@ -104,7 +115,8 @@ def main():
     vae, _, s_ratio, t_ratio = load_vae(
         args.vae_type, args.vae_precision, args.vae_path,
         t_ops_config_path=args.config_json, test=True,
-        random_init=args.random_init, logger=logger)
+        random_init=args.random_init, logger=logger,
+        data_parallel=args.data_parallel)
     if args.enable_tiling:
         vae.enable_tiling()
     dataset = VideoTensorDataset(args.tensor_dir)

@@ -133,6 +133,54 @@ class TestTiling:
         # by the real-weights PSNR parity check instead.
 
 
+class TestMeshTiling:
+    """Mesh-sharded tile dispatch must match the single-device path exactly
+    (tiles are independent; sharding only partitions the batch axis)."""
+
+    @pytest.fixture(scope="class")
+    def mesh_vae(self, vae_params):
+        from hunyuanvideo_efficiency_tpu.parallel import (ParallelConfig,
+                                                          make_mesh)
+
+        mesh = make_mesh(ParallelConfig(dp_degree=2, ulysses_degree=2,
+                                        ring_degree=2))
+        vae = AutoencoderKLCausal3D(TINY, vae_params, mesh=mesh)
+        assert vae.mesh is not None
+        return vae
+
+    def test_sharded_tiled_decode_matches(self, tiny_vae, mesh_vae):
+        z = jnp.asarray(
+            np.random.default_rng(2).standard_normal((1, 4, 5, 8, 6)),
+            jnp.float32) * 0.1
+        tiny_vae.enable_spatial_tiling(True)
+        plain = np.asarray(tiny_vae.decode(z))
+        tiny_vae.disable_tiling()
+        mesh_vae.enable_spatial_tiling(True)
+        sharded = np.asarray(mesh_vae.decode(z))
+        mesh_vae.disable_tiling()
+        np.testing.assert_allclose(plain, sharded, rtol=1e-5, atol=1e-5)
+
+    def test_sharded_tiled_encode_matches(self, tiny_vae, mesh_vae):
+        x = rand_video(t=5, h=64, w=56, seed=3)
+        tiny_vae.enable_spatial_tiling(True)
+        plain = np.asarray(tiny_vae.encode_moments(x))
+        tiny_vae.disable_tiling()
+        mesh_vae.enable_spatial_tiling(True)
+        sharded = np.asarray(mesh_vae.encode_moments(x))
+        mesh_vae.disable_tiling()
+        np.testing.assert_allclose(plain, sharded, rtol=1e-5, atol=1e-5)
+
+    def test_sharded_temporal_plus_spatial(self, tiny_vae, mesh_vae):
+        x = rand_video(t=17, h=64, w=56, seed=4)
+        tiny_vae.enable_tiling(True)
+        plain = np.asarray(tiny_vae.encode_moments(x))
+        tiny_vae.disable_tiling()
+        mesh_vae.enable_tiling(True)
+        sharded = np.asarray(mesh_vae.encode_moments(x))
+        mesh_vae.disable_tiling()
+        np.testing.assert_allclose(plain, sharded, rtol=1e-5, atol=1e-5)
+
+
 class TestTOps:
     def test_encoder_pool_halves_time(self, vae_params):
         tops = TOpsConfig(
