@@ -178,7 +178,8 @@ class Inference:
             prompt_template_video=args.prompt_template_video,
             hidden_state_skip_layer=args.hidden_state_skip_layer,
             apply_final_norm=args.apply_final_norm,
-            dtype=PRECISION_TO_TYPE[args.text_encoder_precision])
+            dtype=PRECISION_TO_TYPE[args.text_encoder_precision],
+            mesh=mesh)  # tensor-parallel LLM tower over the same mesh
         # smaller tower configs (tests / distilled encoders)
         for key in ("llm_config", "clip_config"):
             if key in kwargs:

@@ -91,6 +91,7 @@ class TextEncoder:
         use_attention_mask: bool = True,
         dtype=jnp.bfloat16,
         init_key: Optional[jax.Array] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
         if text_encoder_type not in ("llm", "clipL"):
             raise ValueError(
@@ -123,6 +124,14 @@ class TextEncoder:
                 init_key = jax.random.PRNGKey(0)
             params = (init_llama_params if text_encoder_type == "llm"
                       else init_clip_params)(init_key, model_config, dtype)
+        # Tensor-parallel placement of the LLM tower over the mesh (the 8B
+        # tower alone is ~16 GB bf16 — larger than one v5e). CLIP-L (123M)
+        # stays replicated. See llama.shard_llama_params.
+        self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+        if self.mesh is not None and text_encoder_type == "llm":
+            from .llama import shard_llama_params
+
+            params = shard_llama_params(params, self.mesh)
         self.params = params
 
         if tokenizer is None and tokenizer_path is not None:
@@ -210,7 +219,13 @@ class TextEncoder:
         self.params = jax.tree.map(np.asarray, self.params)
 
     def load(self, device=None) -> None:
-        self.params = jax.device_put(self.params, device)
+        if (device is None and self.mesh is not None
+                and self.text_encoder_type == "llm"):
+            from .llama import shard_llama_params
+
+            self.params = shard_llama_params(self.params, self.mesh)
+        else:
+            self.params = jax.device_put(self.params, device)
 
     # -- pipeline-facing API --
     def encode_prompt(self, prompt, data_type: str = "video",
@@ -238,6 +253,7 @@ def build_text_encoders(
     hidden_state_skip_layer: int = 2,
     apply_final_norm: bool = False,
     dtype=jnp.bfloat16,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> Tuple[TextEncoder, TextEncoder]:
     """Builds the (llm, clipL) pair the way Inference.from_pretrained does
     (reference: hyvideo/inference.py:210-264): the LLM max_length includes
@@ -251,7 +267,7 @@ def build_text_encoders(
         tokenizer_path=tokenizer_path, prompt_template=tpl,
         prompt_template_video=tpl_video,
         hidden_state_skip_layer=hidden_state_skip_layer,
-        apply_final_norm=apply_final_norm, dtype=dtype)
+        apply_final_norm=apply_final_norm, dtype=dtype, mesh=mesh)
     clip = TextEncoder(
         "clipL", text_len_2, params=clip_params, model_config=clip_config,
         tokenizer_path=tokenizer_path_2, dtype=dtype)

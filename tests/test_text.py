@@ -176,3 +176,51 @@ class TestOffload:
         enc.load()
         after = enc("hello").hidden_state
         np.testing.assert_allclose(np.asarray(before), np.asarray(after))
+
+
+class TestShardedLlama:
+    """Tensor-parallel LLM tower: XLA-partitioned forward must match the
+    single-device forward exactly (placement only, no model change)."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        from hunyuanvideo_efficiency_tpu.parallel import (ParallelConfig,
+                                                          make_mesh)
+
+        return make_mesh(ParallelConfig(dp_degree=2, ulysses_degree=2,
+                                        ring_degree=2))
+
+    def test_sharded_encode_matches(self, mesh):
+        from hunyuanvideo_efficiency_tpu.models.text.llama import (
+            init_llama_params, shard_llama_params)
+
+        params = init_llama_params(jax.random.PRNGKey(0), TINY_LLAMA,
+                                   jnp.float32)
+        ids = jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, TINY_LLAMA.vocab_size, (2, 16)), jnp.int32)
+        mask = jnp.asarray([[1] * 16, [1] * 10 + [0] * 6], jnp.int32)
+        plain = llama_encode(params, ids, mask, TINY_LLAMA,
+                             hidden_state_skip_layer=2, dtype=jnp.float32)
+        sharded_params = shard_llama_params(params, mesh)
+        # layer kernels actually sharded (not silently replicated)
+        q = sharded_params["layers"]["self_attn"]["q_proj"]["kernel"]
+        assert len(q.sharding.device_set) == 8
+        sharded = llama_encode(sharded_params, ids, mask, TINY_LLAMA,
+                               hidden_state_skip_layer=2, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_wrapper_mesh_and_offload_reload(self, mesh):
+        enc = TextEncoder("llm", max_length=8, model_config=TINY_LLAMA,
+                          hidden_state_skip_layer=2, dtype=jnp.float32,
+                          init_key=jax.random.PRNGKey(3), mesh=mesh)
+        assert enc.mesh is not None
+        before = enc("hello world").hidden_state
+        enc.offload()
+        enc.load()  # must restore the tensor-parallel placement
+        q = enc.params["layers"]["self_attn"]["q_proj"]["kernel"]
+        assert len(q.sharding.device_set) == 8
+        after = enc("hello world").hidden_state
+        np.testing.assert_allclose(np.asarray(before), np.asarray(after),
+                                   rtol=2e-5, atol=2e-5)
