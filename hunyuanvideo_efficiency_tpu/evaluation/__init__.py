@@ -19,5 +19,8 @@ __all__ = [
 ]
 from .metrics import ms_ssim, ms_ssim_video  # noqa: E402
 from .run_metrics import demo, per_video_metrics  # noqa: E402
+from .fvmd import calc_hist, fvmd, track_keypoints  # noqa: E402
+from .fvmd import video_motion_features  # noqa: E402
 
-__all__ += ["ms_ssim", "ms_ssim_video", "demo", "per_video_metrics"]
+__all__ += ["ms_ssim", "ms_ssim_video", "demo", "per_video_metrics",
+            "calc_hist", "fvmd", "track_keypoints", "video_motion_features"]

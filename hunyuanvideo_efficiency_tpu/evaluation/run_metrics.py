@@ -18,9 +18,11 @@ from .metrics import (frechet_distance, gaussian_stats, ms_ssim_video,
 
 def per_video_metrics(videos1: np.ndarray, videos2: np.ndarray,
                       lpips_params=None, i3d_path: Optional[str] = None,
-                      out_csv: Optional[str] = None) -> List[Dict]:
+                      out_csv: Optional[str] = None,
+                      with_fvmd: bool = False) -> List[Dict]:
     """videos [N, T, H, W, C] uint8 (or float in [0, 255]); returns one row
-    per video, plus a final 'set' row with FVD when i3d_path is given."""
+    per video, plus a final 'set' row with FVD (when i3d_path is given)
+    and FVMD (when with_fvmd; reference run.py:80-86)."""
     rows = []
     for i, (a, b) in enumerate(zip(videos1, videos2)):
         row = {"video": i,
@@ -32,13 +34,19 @@ def per_video_metrics(videos1: np.ndarray, videos2: np.ndarray,
 
             row["lpips"] = lpips_video(lpips_params, a, b)
         rows.append(row)
+    set_row: Dict = {}
     if i3d_path is not None:
         from .fvd import compute_fvd
 
-        fvd = compute_fvd(np.asarray(videos1, np.float32) / 255.0,
-                          np.asarray(videos2, np.float32) / 255.0,
-                          i3d_path=i3d_path)
-        rows.append({"video": "set", "fvd": fvd})
+        set_row["fvd"] = compute_fvd(
+            np.asarray(videos1, np.float32) / 255.0,
+            np.asarray(videos2, np.float32) / 255.0, i3d_path=i3d_path)
+    if with_fvmd:
+        from .fvmd import fvmd
+
+        set_row["fvmd"] = fvmd(videos1, videos2)
+    if set_row:
+        rows.append({"video": "set", **set_row})
     if out_csv:
         keys: List[str] = []
         for r in rows:

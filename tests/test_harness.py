@@ -200,6 +200,58 @@ class TestMSSSIMAndRunner:
         assert out["frechet_self"] == pytest.approx(0.0, abs=1e-5)
 
 
+def _textured_videos(n, t, size, shift, seed):
+    """Random-texture videos translated by `shift` px/frame (trackable)."""
+    rng = np.random.RandomState(seed)
+    vids = np.empty((n, t, size, size, 3), np.uint8)
+    for i in range(n):
+        # smooth the texture so Lucas-Kanade has clean gradients
+        tex = rng.rand(size, size, 3)
+        k = np.ones((5, 5)) / 25.0
+        from scipy.ndimage import convolve
+
+        tex = np.stack([convolve(tex[..., c], k, mode="wrap")
+                        for c in range(3)], -1)
+        tex = (tex * 255).astype(np.uint8)
+        for f in range(t):
+            vids[i, f] = np.roll(tex, (f * shift, f * shift), axis=(0, 1))
+    return vids
+
+
+class TestFVMD:
+    def test_tracker_recovers_translation(self):
+        from hunyuanvideo_efficiency_tpu.evaluation import track_keypoints
+
+        vid = _textured_videos(1, 8, 96, shift=2, seed=0)[0]
+        tracks, valid = track_keypoints(vid, grid=12)
+        assert valid.sum() > 20
+        vel = np.diff(tracks[:, valid], axis=0)  # xy per step
+        # np.roll by +2 on (H, W) axes moves content +2 px in x and y
+        med = np.median(vel.reshape(-1, 2), axis=0)
+        assert np.allclose(med, [2.0, 2.0], atol=0.5)
+
+    def test_fvmd_separates_motion_distributions(self):
+        from hunyuanvideo_efficiency_tpu.evaluation import fvmd
+
+        static = _textured_videos(4, 16, 64, shift=0, seed=1)
+        moving = _textured_videos(4, 16, 64, shift=2, seed=2)
+        moving_b = _textured_videos(4, 16, 64, shift=2, seed=3)
+
+        same = fvmd(moving, moving_b)
+        diff = fvmd(static, moving)
+        assert diff > same
+        assert fvmd(moving, moving) == pytest.approx(0.0, abs=1e-8)
+
+    def test_fvmd_in_per_video_csv(self, tmp_path):
+        from hunyuanvideo_efficiency_tpu.evaluation import per_video_metrics
+
+        v1 = _textured_videos(2, 16, 64, shift=1, seed=4)
+        v2 = _textured_videos(2, 16, 64, shift=2, seed=5)
+        rows = per_video_metrics(v1, v2, with_fvmd=True)
+        assert rows[-1]["video"] == "set"
+        assert np.isfinite(rows[-1]["fvmd"])
+
+
 class TestAnalysis:
     def test_parse_and_rank(self, tmp_path):
         from hunyuanvideo_efficiency_tpu.experiments import (
