@@ -45,11 +45,14 @@ def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale             # [bq, d]
-    k = k_ref[0].astype(jnp.float32)                     # [bk, d]
+    # dots keep the model dtype (bf16 -> single-pass MXU; fp32 accumulate).
+    # bf16 x bf16 products are exact in fp32, so QK^T is identical to the
+    # fp32-upcast dot while avoiding multi-pass fp32 MXU lowering.
+    q = q_ref[0]                                         # [bq, d]
+    k = k_ref[0]                                         # [bk, d]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [bq, bk]
+        preferred_element_type=jnp.float32) * scale      # [bq, bk]
     s = s + kb_ref[0, 0:1, :]                            # key-padding bias
 
     m_prev = m_scr[...]                                  # [bq, 128]
@@ -59,9 +62,10 @@ def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref,
     p = jnp.exp(s - m_new[:, :1])                        # [bq, bk]
     corr = jnp.exp(m_prev - m_new)                       # [bq, 128]
     l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
-    v = v_ref[0].astype(jnp.float32)
+    # P.V in the value dtype (same rounding as the sdpa reference path,
+    # which casts probs to v.dtype before the PV matmul); fp32 accumulate.
     pv = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # [bq, d]
     m_scr[...] = m_new
     l_scr[...] = l_new

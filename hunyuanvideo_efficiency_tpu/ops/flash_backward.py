@@ -47,10 +47,10 @@ def _fwd_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    # dots keep the model dtype (bf16 -> single-pass MXU; fp32 accumulate);
+    # P.V casts probs to v.dtype like the sdpa reference path.
+    s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
     s = s + kb_ref[0, 0:1, :]
 
     m_prev = m_scr[...]
@@ -60,8 +60,8 @@ def _fwd_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     p = jnp.exp(s - m_new[:, :1])
     corr = jnp.exp(m_prev - m_new)
     l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
-    v = v_ref[0].astype(jnp.float32)
-    pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                             (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     m_scr[...] = m_new
     l_scr[...] = l_new
@@ -124,21 +124,18 @@ def _bwd_dq_kernel(kb_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _init():
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    k = k_ref[0]
+    s = jax.lax.dot_general(q_ref[0], k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
     s = s + kb_ref[0, 0:1, :]
     lse = lse_ref[0, 0:1, :].T                       # [bq, 1]
     p = jnp.exp(s - lse)                             # [bq, bk]
-    do = do_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+    dp = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     delta = delta_ref[0, 0:1, :].T                   # [bq, 1]
     ds = p * (dp - delta)
     acc_scr[...] += jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(ki == nk - 1)
@@ -155,25 +152,23 @@ def _bwd_dkv_kernel(kb_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    do = do_ref[0]                                   # [bq, d]
     # s^T layout: [bk, bq]
-    st = jax.lax.dot_general(k, q * scale, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    st = jax.lax.dot_general(k_ref[0], q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
     st = st + kb_ref[0, 0:1, :].T                    # bias per k row
     lse = lse_ref[0, 0:1, :]                         # [1, bq]
     pt = jnp.exp(st - lse)                           # [bk, bq]
-    do = do_ref[0].astype(jnp.float32)               # [bq, d]
     dv_scr[...] += jax.lax.dot_general(
-        pt, do, (((1,), (0,)), ((), ())),
+        pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+    dpt = jax.lax.dot_general(v_ref[0], do, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)  # [bk, bq]
     delta = delta_ref[0, 0:1, :]                     # [1, bq]
     dst = pt * (dpt - delta)
     dk_scr[...] += jax.lax.dot_general(
-        dst, q, (((1,), (0,)), ((), ())),
+        dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(qi == nq - 1)

@@ -129,10 +129,9 @@ def _sta_kernel(nbr_ref, dma_ref, kb_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(nbr_ref[qi, j] >= 0)
     def _fold():
-        q = q_ref[0].astype(jnp.float32) * scale
-        k = k_ref[0].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        # dots keep the model dtype (bf16 -> single-pass MXU, fp32 accum)
+        s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
         s = s + kb_ref[0, 0:1, :]
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -140,8 +139,8 @@ def _sta_kernel(nbr_ref, dma_ref, kb_ref, q_ref, k_ref, v_ref, o_ref,
         m_new = jnp.maximum(m_prev, s_max)
         p = jnp.exp(s - m_new[:, :1])
         corr = jnp.exp(m_prev - m_new)
-        v = v_ref[0].astype(jnp.float32)
-        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+        pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                                 (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         m_scr[...] = m_new
         l_scr[...] = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
