@@ -117,6 +117,10 @@ class InferenceArgs:
     cfg_scale: float = 1.0
     embedded_cfg_scale: float = 6.0
     use_fp8: bool = False
+    # Accepted for reference-flag compatibility (config.py:355-359, threads
+    # into text-encoder do_sample there). Our stack is deterministic by
+    # construction: explicit PRNG keys, greedy text encode, no sampling —
+    # so the flag has nothing to disable.
     reproduce: bool = False
 
     # ---- parallel (reference config.py:364-381) ----
