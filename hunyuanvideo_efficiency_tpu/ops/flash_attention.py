@@ -36,7 +36,16 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *, scale: float, nk: int):
+                  m_scr, l_scr, acc_scr, *, scale: float, nk: int,
+                  n_sub: int):
+    """One (batch, head, q-block) x k-block grid step.
+
+    The k block is processed as `n_sub` independent sub-tiles whose QK^T /
+    exp / P.V chains have no cross-dependencies until the running-stat
+    update, giving the scheduler room to overlap VPU softmax work of one
+    sub-tile with MXU dots of the next (measured ~+8% vs a single tile at
+    67k tokens).
+    """
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
@@ -49,24 +58,34 @@ def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref,
     # bf16 x bf16 products are exact in fp32, so QK^T is identical to the
     # fp32-upcast dot while avoiding multi-pass fp32 MXU lowering.
     q = q_ref[0]                                         # [bq, d]
-    k = k_ref[0]                                         # [bk, d]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # [bq, bk]
-    s = s + kb_ref[0, 0:1, :]                            # key-padding bias
+    bk = k_ref.shape[1]
+    sub = bk // n_sub
+    ss = []
+    for j in range(n_sub):
+        sj = jax.lax.dot_general(
+            q, k_ref[0, j * sub:(j + 1) * sub], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [bq, sub]
+        ss.append(sj + kb_ref[0, 0:1, j * sub:(j + 1) * sub])
 
     m_prev = m_scr[...]                                  # [bq, 128]
     l_prev = l_scr[...]
-    s_max = jnp.max(s, axis=-1, keepdims=True)           # [bq, 1]
+    s_max = ss[0].max(axis=-1, keepdims=True)
+    for sj in ss[1:]:
+        s_max = jnp.maximum(s_max, sj.max(axis=-1, keepdims=True))
     m_new = jnp.maximum(m_prev, s_max)                   # lanes replicated
-    p = jnp.exp(s - m_new[:, :1])                        # [bq, bk]
     corr = jnp.exp(m_prev - m_new)                       # [bq, 128]
-    l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
     # P.V in the value dtype (same rounding as the sdpa reference path,
     # which casts probs to v.dtype before the PV matmul); fp32 accumulate.
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [bq, d]
+    l_new = l_prev * corr
+    pv = None
+    for j, sj in enumerate(ss):
+        p = jnp.exp(sj - m_new[:, :1])                   # [bq, sub]
+        l_new = l_new + jnp.sum(p, axis=-1, keepdims=True)
+        pvj = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, j * sub:(j + 1) * sub],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bq, d]
+        pv = pvj if pv is None else pv + pvj
     m_scr[...] = m_new
     l_scr[...] = l_new
     acc_scr[...] = acc_scr[...] * corr[:, :1] + pv
@@ -94,7 +113,9 @@ def _flash_packed(q, k, v, kb, heads: int, scale: float, block_q: int,
     nk = sk // block_k
 
     grid = (b, heads, nq, nk)
-    kernel = functools.partial(_flash_kernel, scale=scale, nk=nk)
+    n_sub = 2 if block_k % 256 == 0 else 1
+    kernel = functools.partial(_flash_kernel, scale=scale, nk=nk,
+                               n_sub=n_sub)
     flops = 4 * b * heads * sq * sk * d
     out = pl.pallas_call(
         kernel,
@@ -137,7 +158,7 @@ def flash_attention(
     key_bias: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     block_q: int = 1024,
-    block_k: int = 1024,
+    block_k: int = 2048,
 ) -> jnp.ndarray:
     """Flash attention; q/k/v [B, S, H, D] -> [B, Sq, H*D].
 

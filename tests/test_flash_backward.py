@@ -22,9 +22,13 @@ def _data(b=2, s=160, h=2, d=128, txt=24, seed=0):
 
 
 class TestFlashVJP:
-    def test_forward_matches_sdpa(self):
-        q, k, v, bias = _data()
-        out = flash_attention_vjp(q, k, v, bias, None, 128, 128)
+    @pytest.mark.parametrize("s,bq,bk", [
+        (160, 128, 128),   # n_sub=1 path (block_k % 256 != 0)
+        (330, 128, 256),   # n_sub=2 sub-tiled path + ragged key padding
+    ])
+    def test_forward_matches_sdpa(self, s, bq, bk):
+        q, k, v, bias = _data(s=s)
+        out = flash_attention_vjp(q, k, v, bias, None, bq, bk)
         ref = sdpa_attention(q, k, v, bias=bias)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-3, atol=2e-3)
