@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -79,3 +80,74 @@ def make_sp_train_step(mesh: Mesh, cfg: DiTConfig, pcfg: ParallelConfig,
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_sp_train_step_optax(mesh: Mesh, cfg: DiTConfig,
+                             pcfg: ParallelConfig, optimizer,
+                             ema_decay: float | None = 0.9999):
+    """Sharded train step with an optax optimizer and optional EMA params.
+
+    The reference's training checkpoints carry both a `module` and an `ema`
+    weight set (reference: hyvideo/inference.py:279-354 loads either via
+    --load-key); EMA tracking here produces that second set natively.
+
+    Returns (step_fn, init_fn):
+      init_fn(params) -> TrainState dict {opt_state, ema (or None), step}
+      step_fn(params, state, x0, noise, t, pe, mask, pe2,
+              f_cos_grid, f_sin_grid) -> (new_params, new_state, loss)
+
+    Sharding matches make_sp_train_step: params/opt_state/ema replicated,
+    batch on dp, latent-H on ulysses x ring; grads pmean'd over the mesh so
+    the update is identical everywhere.
+    """
+    from dataclasses import replace
+
+    cfg_l = replace(_sp_cfg(cfg, pcfg), remat_blocks=True)
+    axes = (DP_AXIS, ULYSSES_AXIS, RING_AXIS)
+
+    def init_fn(params):
+        return {
+            "opt_state": optimizer.init(params),
+            "ema": (jax.tree.map(lambda p: p.astype(jnp.float32), params)
+                    if ema_decay is not None else None),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def step(params, state, x0, noise, t, pe, mask, pe2,
+             f_cos_grid, f_sin_grid):
+        d = f_cos_grid.shape[-1]
+        f_cos = f_cos_grid.reshape(-1, d)
+        f_sin = f_sin_grid.reshape(-1, d)
+        guidance = (jnp.full((x0.shape[0],), 1000.0, jnp.float32)
+                    if cfg_l.guidance_embed else None)
+        loss, grads = jax.value_and_grad(flow_match_loss)(
+            params, x0, noise, t, pe, mask, pe2, f_cos, f_sin, guidance,
+            cfg_l)
+        grads = lax.pmean(grads, axes)
+        loss = lax.pmean(loss, axes)
+        updates, opt_state = optimizer.update(grads, state["opt_state"],
+                                              params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = jax.tree.map(lambda n, p: n.astype(p.dtype),
+                                  new_params, params)
+        ema = state["ema"]
+        if ema is not None:
+            ema = jax.tree.map(
+                lambda e, p: ema_decay * e
+                + (1.0 - ema_decay) * p.astype(jnp.float32),
+                ema, new_params)
+        return new_params, {"opt_state": opt_state, "ema": ema,
+                            "step": state["step"] + 1}, loss
+
+    x_spec = P(DP_AXIS, None, None, SP_AXES, None)
+    rep = P()
+    batch_spec = P(DP_AXIS)
+    freq_spec = P(None, SP_AXES, None, None)
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(rep, rep, x_spec, x_spec, batch_spec, batch_spec,
+                  batch_spec, batch_spec, freq_spec, freq_spec),
+        out_specs=(rep, rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded), init_fn

@@ -52,6 +52,76 @@ def test_loss_decreases_and_params_stay_replicated():
     assert leaf.sharding.is_fully_replicated
 
 
+def test_optax_step_with_ema():
+    """AdamW + grad-clip step reduces loss; EMA lags the live params and
+    stays finite (the reference's `module`/`ema` dual weight sets,
+    hyvideo/inference.py:279-354)."""
+    import optax
+
+    from hunyuanvideo_efficiency_tpu.training import make_sp_train_step_optax
+
+    pcfg = ParallelConfig(dp_degree=2, ulysses_degree=2, ring_degree=2)
+    mesh = make_mesh(pcfg)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adamw(1e-2, weight_decay=1e-4))
+    step, init_fn = make_sp_train_step_optax(mesh, TINY, pcfg, optimizer,
+                                             ema_decay=0.5)
+    params = init_dit_params(jax.random.PRNGKey(1), TINY)
+    state = init_fn(params)
+    x0, noise, pe, mask, pe2, cos_g, sin_g = _data(b=2)
+    t = jnp.full((2,), 0.5, jnp.float32)
+
+    losses = []
+    for _ in range(6):
+        params, state, loss = step(params, state, x0, noise, t,
+                                   pe, mask, pe2, cos_g, sin_g)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert int(state["step"]) == 6
+
+    # EMA is a trailing average: different from the live params, finite
+    lp = jax.tree.leaves(params)
+    le = jax.tree.leaves(state["ema"])
+    diffs = [float(jnp.max(jnp.abs(a.astype(jnp.float32) - b)))
+             for a, b in zip(lp, le)]
+    assert max(diffs) > 1e-6
+    assert all(np.isfinite(d) for d in diffs)
+
+
+def test_train_cli_smoke_and_resume(tmp_path):
+    """train.py end-to-end on the CPU mesh: toy model, latent .pt dataset,
+    checkpoint write, then resume for one more step."""
+    import train as train_cli
+    from hunyuanvideo_efficiency_tpu.data.dataset_loader import save_tensor
+
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        save_tensor(str(data / f"v{i}.pt"),
+                    rng.randn(16, 3, 8, 6).astype(np.float32))
+
+    out = tmp_path / "run"
+    losses = train_cli.main([
+        "--data-dir", str(data), "--latents", "--toy",
+        "--steps", "2", "--batch-size", "2", "--save-every", "2",
+        "--mesh-shape", "dp:2,ulysses:2,ring:2", "--ema-decay", "0.9",
+        "--lr", "1e-3", "--output-dir", str(out), "--seed", "3"])
+    assert len(losses) == 2 and all(np.isfinite(losses))
+    ck = out / "step_0000002"
+    assert (ck / "module").exists() and (ck / "ema").exists()
+    assert (ck / "opt_state").exists() and (ck / "meta.json").exists()
+
+    more = train_cli.main([
+        "--data-dir", str(data), "--latents", "--toy",
+        "--steps", "3", "--batch-size", "2", "--save-every", "10",
+        "--mesh-shape", "dp:2,ulysses:2,ring:2", "--ema-decay", "0.9",
+        "--lr", "1e-3", "--output-dir", str(out), "--seed", "3",
+        "--resume", str(ck)])
+    assert len(more) == 1 and np.isfinite(more[0])
+
+
 def test_single_device_mesh_matches_multi():
     """Same data, different meshes -> same loss trajectory (pmean over all
     axes makes the sharded step equivalent to the global batch step)."""
