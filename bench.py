@@ -30,11 +30,13 @@ def model_flops(n_tokens: int, hidden: int, depth: int = 60) -> float:
     return depth * (24.0 * n_tokens * hidden ** 2 + 4.0 * n_tokens ** 2 * hidden)
 
 
-def build_fp8_params(cfg, dtype):
-    """Flagship param tree with block linears stored fp8 (per-block scales).
+def build_fp8_params(cfg, dtype, quant="fp8"):
+    """Flagship param tree with block linears stored fp8 (per-block scales)
+    or int8 (per-output-channel scales, W8A8 MXU compute path).
 
     Weights are random (benchmark measures speed, not quality); built one
-    block at a time and stacked in fp8 so peak host/device memory stays low.
+    block at a time and stacked quantized so peak host/device memory stays
+    low.
     """
     import jax
     import jax.numpy as jnp
@@ -43,8 +45,10 @@ def build_fp8_params(cfg, dtype):
         _double_block_init, _refiner_init, _single_block_init,
         _ts_embedder_init, _lin_init)
     from hunyuanvideo_efficiency_tpu.ops.quantization import (
-        quantize_tensor_fp8)
+        quantize_tensor_fp8, quantize_tensor_int8)
 
+    qfn = (quantize_tensor_int8 if quant == "int8"
+           else lambda w: quantize_tensor_fp8(w, False))
     h = cfg.hidden_size
     pt, ph, pw = cfg.patch_size
     key = jax.random.PRNGKey(0)
@@ -54,7 +58,7 @@ def build_fp8_params(cfg, dtype):
         if isinstance(p, dict):
             if "kernel" in p and p["kernel"].ndim >= 2:
                 rest = {k: v for k, v in p.items() if k != "kernel"}
-                return {**rest, **quantize_tensor_fp8(p["kernel"], False)}
+                return {**rest, **qfn(p["kernel"])}
             return {k: quant_block(v) for k, v in p.items()}
         return p
 
@@ -104,7 +108,7 @@ def build_fp8_params(cfg, dtype):
     return params
 
 
-def bench_step(height, width, frames, repeats=3, sta=False):
+def bench_step(height, width, frames, repeats=3, sta=False, int8=False):
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -117,7 +121,8 @@ def bench_step(height, width, frames, repeats=3, sta=False):
     cfg = load_dit_config("HYVideo-T/2-cfgdistill",
                           attn_mode="sta" if sta else "flash",
                           mlp_chunk_tokens=8192)
-    params = build_fp8_params(cfg, jnp.bfloat16)
+    params = build_fp8_params(cfg, jnp.bfloat16,
+                              quant="int8" if int8 else "fp8")
 
     t_lat = (frames - 1) // 4 + 1
     h_lat, w_lat = height // 8, width // 8
@@ -158,13 +163,14 @@ REF_SEC = 38.1
 REF_TOKENS = 118800 + 256
 
 
-def run_one(height, width, frames, sta=False):
-    sec, n_tok, hidden = bench_step(height, width, frames, sta=sta)
+def run_one(height, width, frames, sta=False, int8=False):
+    sec, n_tok, hidden = bench_step(height, width, frames, sta=sta, int8=int8)
     ref_equiv = REF_SEC * (model_flops(n_tok, hidden)
                            / model_flops(REF_TOKENS, hidden))
     tag = " sta" if sta else ""
     print(json.dumps({
-        "metric": f"sec/denoise-step 13B fp8 {width}x{height}x{frames}f"
+        "metric": f"sec/denoise-step 13B {'int8' if int8 else 'fp8'} "
+                  f"{width}x{height}x{frames}f"
                   f"{tag} 1chip",
         "value": round(sec, 3),
         "unit": "s",
@@ -225,6 +231,6 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--config":
         run_one(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
-                sta="--sta" in sys.argv)
+                sta="--sta" in sys.argv, int8="--int8" in sys.argv)
     else:
         main()

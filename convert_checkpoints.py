@@ -10,7 +10,7 @@ documented in the reference README) into JAX-native artifacts:
 
 Usage:
   python convert_checkpoints.py --model-base ckpts --output-base ckpts_tpu \
-      [--load-key module|ema] [--fp8] [--orbax]
+      [--load-key module|ema] [--fp8|--int8] [--orbax]
 """
 import argparse
 import os
@@ -26,6 +26,9 @@ def main():
     p.add_argument("--load-key", default="module", choices=["module", "ema"])
     p.add_argument("--fp8", action="store_true",
                    help="store DiT block weights as fp8(E4M3)")
+    p.add_argument("--int8", action="store_true",
+                   help="store DiT block weights as int8 (W8A8 MXU compute;"
+                        " per-output-channel scales)")
     p.add_argument("--fp8-map", default=None,
                    help="reference *_fp8_map.pt side-car (with an fp8 ckpt)")
     p.add_argument("--orbax", action="store_true",
@@ -66,13 +69,14 @@ def main():
         else:
             sd = ckpt.load_torch_state_dict(str(dit_path), a.load_key)
             params = ckpt.convert_dit_state_dict(sd, cfg)
-            if a.fp8:
+            if a.fp8 or a.int8:
                 from hunyuanvideo_efficiency_tpu.ops.quantization import (
-                    quantize_dit_params_fp8)
+                    quantize_dit_params_fp8, quantize_dit_params_int8)
 
                 params = jax.tree.map(
                     lambda x: jnp.asarray(x, jnp.bfloat16), params)
-                params = quantize_dit_params_fp8(params)
+                params = (quantize_dit_params_int8(params) if a.int8
+                          else quantize_dit_params_fp8(params))
         save(os.path.join(a.output_base, "dit"), params)
     else:
         logger.warning(f"no DiT checkpoint under {a.model_base} — skipped")

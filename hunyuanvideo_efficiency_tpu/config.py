@@ -117,6 +117,10 @@ class InferenceArgs:
     cfg_scale: float = 1.0
     embedded_cfg_scale: float = 6.0
     use_fp8: bool = False
+    # Beyond-reference: int8 W8A8 compute for block linears — the v5e MXU
+    # runs s8xs8 at 2x the bf16 rate (opt-in speed/quality trade; fp8 is
+    # storage-only, matching the reference's mode).
+    use_int8: bool = False
     # Accepted for reference-flag compatibility (config.py:355-359, threads
     # into text-encoder do_sample there). Our stack is deterministic by
     # construction: explicit PRNG keys, greedy text encode, no sampling —
@@ -218,6 +222,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--cfg-scale", type=float, default=d.cfg_scale)
     g.add_argument("--embedded-cfg-scale", type=float, default=d.embedded_cfg_scale)
     _add_bool_flag(p, "use-fp8", d.use_fp8)
+    _add_bool_flag(p, "use-int8", d.use_int8)
     _add_bool_flag(p, "reproduce", d.reproduce)
 
     g = p.add_argument_group("parallel")

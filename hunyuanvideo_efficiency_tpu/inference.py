@@ -34,7 +34,8 @@ from .models.dit_config import DiTConfig, load_dit_config
 from .models.text import build_text_encoders
 from .models.vae import AutoencoderKLCausal3D, init_vae_params
 from .models.vae_config import load_vae_config
-from .ops.quantization import quantize_dit_params_fp8
+from .ops.quantization import (quantize_dit_params_fp8,
+                               quantize_dit_params_int8)
 from .ops.rope import get_nd_rotary_pos_embed
 from .parallel import ParallelConfig, make_mesh
 from .utils.data_utils import align_to
@@ -144,6 +145,8 @@ class Inference:
                 f"--dit-weight or allow_random_init=True")
         if args.use_fp8:
             params = quantize_dit_params_fp8(params)
+        if getattr(args, "use_int8", False):
+            params = quantize_dit_params_int8(params)
 
         vae_cfg = load_vae_config(args.vae)
         vae_dtype = PRECISION_TO_TYPE[args.vae_precision]

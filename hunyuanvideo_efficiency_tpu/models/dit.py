@@ -54,6 +54,8 @@ ACT = {
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     w = p["kernel"]
+    if w.dtype == jnp.int8:  # W8A8 compute path (ops/quantization.py)
+        return _int8_linear(p, x)
     if "scale" in p:  # fp8 storage (ops/quantization.py): dequant fuses
         w = (w.astype(jnp.float32) * p["scale"]).astype(x.dtype)
     else:
@@ -62,6 +64,27 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
+
+
+def _int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Dynamic per-token activation quant + s8xs8->s32 MXU dot.
+
+    Weights carry per-output-channel scales ({'kernel': int8, 'scale_out':
+    [..., 1, out]}, quantize_tensor_int8). Activations are quantized
+    symmetrically per token at matmul time; the int32 accumulator is exact
+    (127^2 * 15360 < 2^31), so the only error is the two roundings. The
+    same x feeding several column-slices is quantized once (XLA CSE)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.round(xf / sx).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, p["kernel"], (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * sx * p["scale_out"][..., 0, :]
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def mlp(p: Params, x: jnp.ndarray, act: str) -> jnp.ndarray:
@@ -247,6 +270,8 @@ def _col_slice(p: Params, start: int, stop: Optional[int]) -> Params:
         q["bias"] = p["bias"][start:stop]
     if "scale" in p:
         q["scale"] = p["scale"]
+    if "scale_out" in p:  # int8 per-output-channel: slice with the columns
+        q["scale_out"] = p["scale_out"][..., start:stop]
     return q
 
 
@@ -257,6 +282,8 @@ def _row_slice(p: Params, start: int, stop: Optional[int],
         q["bias"] = p["bias"]
     if "scale" in p:
         q["scale"] = p["scale"]
+    if "scale_out" in p:  # rows = contraction axis; out scales unchanged
+        q["scale_out"] = p["scale_out"]
     return q
 
 

@@ -47,7 +47,51 @@ def quantize_tensor_fp8(w: jnp.ndarray, stacked: bool):
 
 
 def dequantize(p: Dict[str, Any], dtype) -> jnp.ndarray:
+    if "scale_out" in p:
+        return (p["kernel"].astype(jnp.float32) * p["scale_out"]).astype(dtype)
     return (p["kernel"].astype(jnp.float32) * p["scale"]).astype(dtype)
+
+
+def quantize_tensor_int8(w: jnp.ndarray):
+    """Per-output-channel symmetric int8 quantization of a linear kernel.
+
+    Works on [in, out] and stacked [depth, in, out] kernels alike: the
+    absmax reduces over the contraction (in) axis, giving a scale of shape
+    [..., 1, out] that broadcasts over matmul results and column-slices
+    together with the kernel.
+
+    Unlike fp8 (a storage format the reference also uses,
+    hyvideo/modules/fp8_optimization.py), int8 is a *compute* format here:
+    the v5e MXU executes s8 x s8 -> s32 dots at twice the bf16 rate, so the
+    matmul-dominated denoise step speeds up, not just the weight footprint.
+    """
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"kernel": q, "scale_out": scale.astype(jnp.float32)}
+
+
+def quantize_dit_params_int8(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize every linear kernel inside double/single blocks to int8
+    (per-output-channel scales). Same coverage as the fp8 converter: biases,
+    norms, embedders and the final layer stay high precision."""
+    out = dict(params)
+    for key in QUANT_BLOCK_KEYS:
+        if key not in params:
+            continue
+
+        def conv(p):
+            if isinstance(p, dict):
+                if "kernel" in p and p["kernel"].ndim >= 2:
+                    rest = {k: v for k, v in p.items()
+                            if k not in ("kernel", "scale")}
+                    return {**rest, **quantize_tensor_int8(p["kernel"])}
+                return {k: conv(v) for k, v in p.items()}
+            return p
+
+        out[key] = conv(params[key])
+    return out
 
 
 def quantize_dit_params_fp8(params: Dict[str, Any]) -> Dict[str, Any]:

@@ -105,3 +105,93 @@ class TestFP8:
         scale = float(jnp.max(jnp.abs(ref))) + 1e-6
         assert err / scale < 0.15, f"fp8 rel err too large: {err/scale}"
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestInt8:
+    """W8A8 compute path (beyond-reference; ops/quantization.py int8)."""
+
+    def test_quantize_per_channel_scales(self):
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_tensor_int8)
+
+        # column 1 is 100x column 0: per-out-channel scales keep both exact
+        w = jnp.concatenate([jnp.ones((16, 1)), 100.0 * jnp.ones((16, 1))],
+                            axis=1)
+        q = quantize_tensor_int8(w)
+        assert q["kernel"].dtype == jnp.int8
+        assert q["scale_out"].shape == (1, 2)
+        deq = q["kernel"].astype(jnp.float32) * q["scale_out"]
+        np.testing.assert_allclose(np.asarray(deq), np.asarray(w), rtol=1e-2)
+
+    def test_int8_linear_matches_fp32(self):
+        from hunyuanvideo_efficiency_tpu.models.dit import linear
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_tensor_int8)
+
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        w = jax.random.normal(k1, (64, 48)) * 0.05
+        b = jax.random.normal(k2, (48,)) * 0.1
+        x = jax.random.normal(k3, (2, 10, 64))
+        ref = linear({"kernel": w, "bias": b}, x)
+        q = {**quantize_tensor_int8(w), "bias": b}
+        out = linear(q, x)
+        assert out.dtype == x.dtype
+        rel = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref))))
+        assert rel < 0.03, rel
+
+    def test_int8_col_row_slices_match_slice_of_full(self):
+        from hunyuanvideo_efficiency_tpu.models.dit import (
+            _col_slice, _row_slice, linear)
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_tensor_int8)
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        w = jax.random.normal(k1, (32, 24)) * 0.1
+        x = jax.random.normal(k2, (3, 32))
+        q = quantize_tensor_int8(w)
+        full = linear(q, x)
+        cols = linear(_col_slice(q, 4, 20), x)
+        np.testing.assert_allclose(np.asarray(cols),
+                                   np.asarray(full[:, 4:20]), atol=1e-5)
+        # row slice: dequantized sliced kernel == sliced dequantized kernel
+        rows = _row_slice(q, 0, 16, keep_bias=False)
+        deq_full = q["kernel"].astype(jnp.float32) * q["scale_out"]
+        deq_rows = rows["kernel"].astype(jnp.float32) * rows["scale_out"]
+        np.testing.assert_allclose(np.asarray(deq_rows),
+                                   np.asarray(deq_full[:16]), atol=1e-7)
+
+    def test_dit_forward_with_int8_params(self):
+        from hunyuanvideo_efficiency_tpu.models.dit import (
+            dit_forward, init_dit_params)
+        from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_dit_params_int8)
+        from hunyuanvideo_efficiency_tpu.ops.rope import (
+            get_nd_rotary_pos_embed)
+
+        cfg = DiTConfig(hidden_size=128, heads_num=4,
+                        mm_double_blocks_depth=2, mm_single_blocks_depth=2,
+                        rope_dim_list=(8, 12, 12), text_states_dim=64,
+                        text_states_dim_2=32, attn_mode="sdpa")
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        qparams = quantize_dit_params_int8(params)
+        assert qparams["double_blocks"]["img_attn_qkv"]["kernel"].dtype \
+            == jnp.int8
+        assert "scale_out" in qparams["double_blocks"]["img_attn_qkv"]
+        assert qparams["img_in"]["kernel"].dtype == jnp.float32
+
+        key = jax.random.PRNGKey(2)
+        ks = jax.random.split(key, 4)
+        x = jax.random.normal(ks[0], (1, 16, 3, 8, 6), jnp.float32)
+        t = jnp.full((1,), 500.0)
+        pe = jax.random.normal(ks[1], (1, 8, 64), jnp.float32)
+        mask = jnp.ones((1, 8), jnp.int32)
+        pe2 = jax.random.normal(ks[2], (1, 32), jnp.float32)
+        cos, sin = get_nd_rotary_pos_embed(cfg.rope_dim_list, (3, 4, 3),
+                                           theta=cfg.rope_theta)
+        ref = dit_forward(params, x, t, pe, mask, pe2, cos, sin, cfg=cfg)
+        out = dit_forward(qparams, x, t, pe, mask, pe2, cos, sin, cfg=cfg)
+        err = float(jnp.max(jnp.abs(out - ref)))
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+        assert err / scale < 0.15, f"int8 rel err too large: {err/scale}"
+        assert np.isfinite(np.asarray(out)).all()
