@@ -108,7 +108,8 @@ def build_fp8_params(cfg, dtype, quant="fp8"):
     return params
 
 
-def bench_step(height, width, frames, repeats=3, sta=False, int8=False):
+def bench_step(height, width, frames, repeats=3, sta=False, int8=False,
+               attn_int8=False):
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -118,8 +119,8 @@ def bench_step(height, width, frames, repeats=3, sta=False, int8=False):
 
     from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
 
-    cfg = load_dit_config("HYVideo-T/2-cfgdistill",
-                          attn_mode="sta" if sta else "flash",
+    attn = "sta" if sta else ("flash_int8" if attn_int8 else "flash")
+    cfg = load_dit_config("HYVideo-T/2-cfgdistill", attn_mode=attn,
                           mlp_chunk_tokens=8192)
     params = build_fp8_params(cfg, jnp.bfloat16,
                               quant="int8" if int8 else "fp8")
@@ -163,11 +164,12 @@ REF_SEC = 38.1
 REF_TOKENS = 118800 + 256
 
 
-def run_one(height, width, frames, sta=False, int8=False):
-    sec, n_tok, hidden = bench_step(height, width, frames, sta=sta, int8=int8)
+def run_one(height, width, frames, sta=False, int8=False, attn_int8=False):
+    sec, n_tok, hidden = bench_step(height, width, frames, sta=sta, int8=int8,
+                                    attn_int8=attn_int8)
     ref_equiv = REF_SEC * (model_flops(n_tok, hidden)
                            / model_flops(REF_TOKENS, hidden))
-    tag = " sta" if sta else ""
+    tag = (" sta" if sta else "") + (" qk8" if attn_int8 else "")
     print(json.dumps({
         "metric": f"sec/denoise-step 13B {'int8' if int8 else 'fp8'} "
                   f"{width}x{height}x{frames}f"
@@ -231,6 +233,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--config":
         run_one(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
-                sta="--sta" in sys.argv, int8="--int8" in sys.argv)
+                sta="--sta" in sys.argv, int8="--int8" in sys.argv,
+                attn_int8="--attn-int8" in sys.argv)
     else:
         main()

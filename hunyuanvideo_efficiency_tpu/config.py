@@ -134,7 +134,7 @@ class InferenceArgs:
     # ---- TPU-native additions (no reference analog) ----
     mesh_shape: Optional[str] = None  # e.g. "sp:8" or "dp:2,sp:4"
     profile_dir: Optional[str] = None
-    attn_mode: str = "auto"  # auto | flash | sdpa | chunked | sta
+    attn_mode: str = "auto"  # auto | flash | flash_int8 | sdpa | chunked | sta
     sta_window: Tuple[int, int, int] = (3, 3, 3)
     sta_dense_blocks: int = 0  # dense-attention prefix depth under sta
     mlp_chunk_tokens: Optional[int] = 8192
@@ -231,7 +231,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--mesh-shape", type=str, default=None)
     g.add_argument("--profile-dir", type=str, default=None)
     g.add_argument("--attn-mode", type=str, default=d.attn_mode,
-                   choices=["auto", "flash", "sdpa", "chunked", "sta"])
+                   choices=["auto", "flash", "flash_int8", "sdpa",
+                            "chunked", "sta"])
     g.add_argument("--sta-window", type=int, nargs=3,
                    default=list(d.sta_window))
     g.add_argument("--sta-dense-blocks", type=int, default=d.sta_dense_blocks)

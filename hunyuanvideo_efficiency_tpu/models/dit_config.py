@@ -26,7 +26,7 @@ class DiTConfig:
     text_projection: str = "single_refiner"
     use_attention_mask: bool = True
     rope_theta: float = 256.0
-    attn_mode: str = "auto"  # sdpa | chunked | flash | auto
+    attn_mode: str = "auto"  # sdpa | chunked | flash | flash_int8 | auto
     # remat ("gradient checkpointing") of each scanned block; harmless at
     # inference, required for training-mode memory
     remat_blocks: bool = False

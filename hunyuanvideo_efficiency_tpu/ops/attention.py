@@ -273,4 +273,9 @@ def attention(
         from .flash_backward import flash_attention_vjp
 
         return flash_attention_vjp(q, k, v, key_bias, scale)
+    if mode == "flash_int8":
+        # int8-QK SageAttention-style kernel (inference only: no VJP)
+        from .flash_attention import flash_attention_int8
+
+        return flash_attention_int8(q, k, v, key_bias=key_bias, scale=scale)
     raise NotImplementedError(f"Unsupported attention mode: {mode}")

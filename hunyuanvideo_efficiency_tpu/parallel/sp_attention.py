@@ -116,7 +116,11 @@ def usp_joint_attention(
     attn_mode: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (img_out [B, S_loc, H*D] seq-sharded, txt_out [B, Lt, H*D]
-    replicated). Must run inside shard_map with the given axis names."""
+    replicated). Must run inside shard_map with the given axis names.
+
+    attn_mode reaches the local kernel only on the pure-Ulysses path
+    (ring_degree == 1) — including "flash_int8" (int8-QK). With ring > 1
+    the streaming ring recurrence below runs in bf16/fp32 regardless."""
     b, _, h, d = img_q.shape
     lt = txt_q.shape[1]
     scale = scale if scale is not None else d ** -0.5
