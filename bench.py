@@ -30,7 +30,8 @@ def model_flops(n_tokens: int, hidden: int, depth: int = 60) -> float:
     return depth * (24.0 * n_tokens * hidden ** 2 + 4.0 * n_tokens ** 2 * hidden)
 
 
-def build_fp8_params(cfg, dtype, quant="fp8"):
+def build_fp8_params(cfg, dtype, quant="fp8", quant_refiner=False,
+                     int4_modulation=False):
     """Flagship param tree with block linears stored fp8 (per-block scales)
     or int8 (per-output-channel scales, W8A8 MXU compute path).
 
@@ -45,21 +46,24 @@ def build_fp8_params(cfg, dtype, quant="fp8"):
         _double_block_init, _refiner_init, _single_block_init,
         _ts_embedder_init, _lin_init)
     from hunyuanvideo_efficiency_tpu.ops.quantization import (
-        quantize_tensor_fp8, quantize_tensor_int8)
+        quantize_tensor_fp8, quantize_tensor_int4, quantize_tensor_int8)
 
     qfn = (quantize_tensor_int8 if quant == "int8"
            else lambda w: quantize_tensor_fp8(w, False))
+    MOD_KEYS = ("modulation", "img_mod", "txt_mod")
     h = cfg.hidden_size
     pt, ph, pw = cfg.patch_size
     key = jax.random.PRNGKey(0)
     ks = iter(jax.random.split(key, 16))
 
-    def quant_block(p):
+    def quant_block(p, name=None):
         if isinstance(p, dict):
             if "kernel" in p and p["kernel"].ndim >= 2:
                 rest = {k: v for k, v in p.items() if k != "kernel"}
+                if int4_modulation and name in MOD_KEYS:
+                    return {**rest, **quantize_tensor_int4(p["kernel"])}
                 return {**rest, **qfn(p["kernel"])}
-            return {k: quant_block(v) for k, v in p.items()}
+            return {k: quant_block(v, k) for k, v in p.items()}
         return p
 
     @jax.jit
@@ -96,7 +100,9 @@ def build_fp8_params(cfg, dtype, quant="fp8"):
             "in_layer": _lin_init(next(ks), cfg.text_states_dim_2, h, dtype),
             "out_layer": _lin_init(next(ks), h, h, dtype)},
         "guidance_in": _ts_embedder_init(next(ks), h, dtype),
-        "txt_in": _refiner_init(next(ks), cfg, dtype),
+        "txt_in": (quant_block(_refiner_init(next(ks), cfg, dtype))
+                   if quant_refiner
+                   else _refiner_init(next(ks), cfg, dtype)),
         "final_layer": {
             "linear": _lin_init(next(ks), h, pt * ph * pw * cfg.out_channels,
                                 dtype, zero=True),
@@ -120,18 +126,27 @@ def bench_step(height, width, frames, repeats=3, sta=False, int8=False,
     from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
 
     attn = "sta" if sta else ("flash_int8" if attn_int8 else "flash")
+    big = height * width >= 720 * 1280
     cfg = load_dit_config("HYVideo-T/2-cfgdistill", attn_mode=attn,
-                          mlp_chunk_tokens=8192)
+                          mlp_chunk_tokens=4096 if big else 8192,
+                          seq_pad_multiple=1024,
+                          attn_head_chunks=4 if big else 1)
     params = build_fp8_params(cfg, jnp.bfloat16,
-                              quant="int8" if int8 else "fp8")
+                              quant="int8" if int8 else "fp8",
+                              quant_refiner=big and int8,
+                              int4_modulation=big)
 
     t_lat = (frames - 1) // 4 + 1
     h_lat, w_lat = height // 8, width // 8
     tt, th, tw = t_lat, h_lat // 2, w_lat // 2
     n_img = tt * th * tw
     lt = 256
+    from hunyuanvideo_efficiency_tpu.ops.rope import make_joint_freqs
+
     cos, sin = get_nd_rotary_pos_embed(
         cfg.rope_dim_list, (tt, th, tw), theta=cfg.rope_theta)
+    if not sta:
+        cos, sin = make_joint_freqs(cos, sin, lt, cfg.seq_pad_multiple)
 
     ks = jax.random.split(jax.random.PRNGKey(1), 4)
     x = jax.random.normal(ks[0], (1, 16, t_lat, h_lat, w_lat), jnp.bfloat16)

@@ -29,6 +29,9 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="store DiT block weights as int8 (W8A8 MXU compute;"
                         " per-output-channel scales)")
+    p.add_argument("--int4-modulation", action="store_true",
+                   help="additionally int4-pack the adaLN modulation "
+                        "weights (single-chip 720p memory tier)")
     p.add_argument("--fp8-map", default=None,
                    help="reference *_fp8_map.pt side-car (with an fp8 ckpt)")
     p.add_argument("--orbax", action="store_true",
@@ -77,6 +80,11 @@ def main():
                     lambda x: jnp.asarray(x, jnp.bfloat16), params)
                 params = (quantize_dit_params_int8(params) if a.int8
                           else quantize_dit_params_fp8(params))
+            if a.int4_modulation:
+                from hunyuanvideo_efficiency_tpu.ops.quantization import (
+                    quantize_dit_params_int4_modulation)
+
+                params = quantize_dit_params_int4_modulation(params)
         save(os.path.join(a.output_base, "dit"), params)
     else:
         logger.warning(f"no DiT checkpoint under {a.model_base} — skipped")

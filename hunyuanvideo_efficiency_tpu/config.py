@@ -121,6 +121,9 @@ class InferenceArgs:
     # runs s8xs8 at 2x the bf16 rate (opt-in speed/quality trade; fp8 is
     # storage-only, matching the reference's mode).
     use_int8: bool = False
+    # int4-pack the adaLN modulation weights (3.4B of the 13B params) —
+    # the opt-in storage tier that fits 720p x 129f on a single 16 GB chip.
+    use_int4_modulation: bool = False
     # Accepted for reference-flag compatibility (config.py:355-359, threads
     # into text-encoder do_sample there). Our stack is deterministic by
     # construction: explicit PRNG keys, greedy text encode, no sampling —
@@ -223,6 +226,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--embedded-cfg-scale", type=float, default=d.embedded_cfg_scale)
     _add_bool_flag(p, "use-fp8", d.use_fp8)
     _add_bool_flag(p, "use-int8", d.use_int8)
+    _add_bool_flag(p, "use-int4-modulation", d.use_int4_modulation)
     _add_bool_flag(p, "reproduce", d.reproduce)
 
     g = p.add_argument_group("parallel")

@@ -147,6 +147,10 @@ class Inference:
             params = quantize_dit_params_fp8(params)
         if getattr(args, "use_int8", False):
             params = quantize_dit_params_int8(params)
+        if getattr(args, "use_int4_modulation", False):
+            from .ops.quantization import quantize_dit_params_int4_modulation
+
+            params = quantize_dit_params_int4_modulation(params)
 
         vae_cfg = load_vae_config(args.vae)
         vae_dtype = PRECISION_TO_TYPE[args.vae_precision]

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import joint_attention, sdpa_attention, text_key_bias
+from ..ops.attention import (attention, joint_attention, sdpa_attention,
+                             text_key_bias)
 from ..ops.norms import layer_norm, rms_norm
 from ..ops.rope import apply_rotary_emb
 from .dit_config import DiTConfig
@@ -53,6 +54,13 @@ ACT = {
 # --------------------------------------------------------------------------
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "kernel_i4" in p:  # int4-packed storage (modulation linears)
+        from ..ops.quantization import dequantize_int4
+
+        y = x @ dequantize_int4(p, x.dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(x.dtype)
+        return y
     w = p["kernel"]
     if w.dtype == jnp.int8:  # W8A8 compute path (ops/quantization.py)
         return _int8_linear(p, x)
@@ -74,10 +82,13 @@ def _int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     symmetrically per token at matmul time; the int32 accumulator is exact
     (127^2 * 15360 < 2^31), so the only error is the two roundings. The
     same x feeding several column-slices is quantized once (XLA CSE)."""
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    # amax reduces in the input dtype (max has no accumulation error), so
+    # no full-sequence f32 copy of x is ever materialized — the f32 form
+    # below lives only inside one fused elementwise pass (a f32[L, 3072]
+    # temp here was 1.37 GB at 720p, the largest allocation in the step)
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
     sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-    xq = jnp.round(xf / sx).astype(jnp.int8)
+    xq = jnp.round(x.astype(jnp.float32) / sx).astype(jnp.int8)
     y = jax.lax.dot_general(
         xq, p["kernel"], (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -99,6 +110,14 @@ def _chunked_tokens(fn, x: jnp.ndarray, chunk: int) -> jnp.ndarray:
     b, l, d = x.shape
     if chunk is None or l <= chunk:
         return fn(x)
+    if l % chunk:
+        # prefer the largest 8-multiple divisor of l at or under the
+        # requested chunk: jnp.pad of [L, 3072] is a 720 MB copy at 720p
+        # (8 = the TPU sublane quantum; e.g. 118800 img tokens -> 7920)
+        for c in range(chunk - chunk % 8, 7, -8):
+            if l % c == 0:
+                chunk = c
+                break
     pad = (-l) % chunk
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
@@ -142,13 +161,29 @@ def apply_gate(x: jnp.ndarray, gate: jnp.ndarray) -> jnp.ndarray:
     return x * gate[:, None]
 
 
-def _qk_norm(p_q, p_k, q, k, cfg: DiTConfig):
+def _qk_norm(p_q, p_k, q, k, cfg: DiTConfig, chunk=None):
+    """QK norm, optionally token-chunked: the norm's fp32 intermediates at
+    full length are 2 x [L, H, D] f32 = 2.7 GB at 720p (118.8k tokens) —
+    the allocation that pushed 720p past one chip's HBM. Chunking bounds
+    them to [chunk, H, D] like the MLP/rope paths (mlp_chunk_tokens)."""
     if not cfg.qk_norm:
         return q, k
-    if cfg.qk_norm_type == "rms":
-        return rms_norm(q, p_q["scale"]), rms_norm(k, p_k["scale"])
-    return (layer_norm(q, p_q.get("scale"), p_q.get("bias")),
-            layer_norm(k, p_k.get("scale"), p_k.get("bias")))
+
+    def one(x, pp):
+        if cfg.qk_norm_type == "rms":
+            return rms_norm(x, pp["scale"])
+        return layer_norm(x, pp.get("scale"), pp.get("bias"))
+
+    b, l, h, d = q.shape
+    if chunk is None or l <= chunk:
+        return one(q, p_q), one(k, p_k)
+
+    def norm_chunked(x, pp):
+        f = lambda u: one(u.reshape(b, -1, h, d), pp).reshape(b, -1, h * d)
+        y = _chunked_tokens(f, x.reshape(b, l, h * d), chunk)
+        return y.reshape(b, l, h, d)
+
+    return norm_chunked(q, p_q), norm_chunked(k, p_k)
 
 
 # --------------------------------------------------------------------------
@@ -216,6 +251,21 @@ def _qkv_proj(p: Params, x: jnp.ndarray, heads: int, d: int):
     return q, k, v
 
 
+def _qkv_proj_group(p: Params, x: jnp.ndarray, heads: int, d: int,
+                    g: int, hg: int):
+    """Per-head-group q/k/v from column slices of the fused qkv weight
+    (layout [q | k | v], each h = heads*d wide): full-sequence q/k/v
+    buffers never materialize when attention runs group-by-group."""
+    b, l, _ = x.shape
+    h = heads * d
+    o = g * hg * d
+    q = linear(_col_slice(p, o, o + hg * d), x).reshape(b, l, hg, d)
+    k = linear(_col_slice(p, h + o, h + o + hg * d), x).reshape(b, l, hg, d)
+    v = linear(_col_slice(p, 2 * h + o, 2 * h + o + hg * d),
+               x).reshape(b, l, hg, d)
+    return q, k, v
+
+
 def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
                  vec: jnp.ndarray, txt_bias: jnp.ndarray,
                  freqs_cis, cfg: DiTConfig,
@@ -230,32 +280,90 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
     (t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2) = jnp.split(txt_mod, 6, -1)
 
     img_m = modulate(layer_norm(img), i_shift1, i_scale1)
-    img_q, img_k, img_v = _qkv_proj(p["img_attn_qkv"], img_m, heads, d)
-    img_q, img_k = _qk_norm(p["img_attn_q_norm"], p["img_attn_k_norm"],
-                            img_q, img_k, cfg)
-    if freqs_cis is not None:
-        img_q, img_k = apply_rotary_emb(img_q, img_k, freqs_cis,
-                                        chunk=cfg.mlp_chunk_tokens)
-
     txt_len = txt.shape[1]
     txt_m = modulate(layer_norm(txt), t_shift1, t_scale1)
-    txt_q, txt_k, txt_v = _qkv_proj(p["txt_attn_qkv"], txt_m, heads, d)
-    txt_q, txt_k = _qk_norm(p["txt_attn_q_norm"], p["txt_attn_k_norm"],
-                            txt_q, txt_k, cfg)
 
-    img_attn, txt_attn = joint_attention(
-        img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
-        mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
-        ring_axis=cfg.ring_axis, token_grid=token_grid,
-        sta_tile=cfg.sta_tile, sta_window=cfg.sta_window)
+    joint_rope = (freqs_cis is not None
+                  and freqs_cis[0].shape[0] == img_len + txt_len)
+    if not (joint_rope and cfg.attn_head_chunks > 1):
+        img_q, img_k, img_v = _qkv_proj(p["img_attn_qkv"], img_m, heads, d)
+        img_q, img_k = _qk_norm(p["img_attn_q_norm"], p["img_attn_k_norm"],
+                                img_q, img_k, cfg,
+                                chunk=cfg.mlp_chunk_tokens)
+        txt_q, txt_k, txt_v = _qkv_proj(p["txt_attn_qkv"], txt_m, heads, d)
+        txt_q, txt_k = _qk_norm(p["txt_attn_q_norm"], p["txt_attn_k_norm"],
+                                txt_q, txt_k, cfg)
+    if joint_rope:
+        # Identity-extended RoPE table (see dit_forward): concat first,
+        # rotate the joint sequence in place — the separately-rope'd img
+        # q/k buffers never exist (2 x 696 MB of peak HBM at 720p). With
+        # attn_head_chunks > 1 attention additionally runs per head group
+        # (column slices of the fused qkv weights in, row slices of the
+        # projection out — algebraically identical), dividing the q/k/v
+        # working set by the group count.
+        if txt_bias is not None:
+            key_bias = jnp.concatenate(
+                [jnp.zeros((b, 1, 1, img_len), jnp.float32),
+                 txt_bias.astype(jnp.float32)], axis=-1)
+        else:
+            key_bias = None
+        ng = max(1, cfg.attn_head_chunks)
+        hg = heads // ng
+        img_po = txt_po = None
+        img_u, txt_u = img_m, txt_m
+        for g in range(ng):
+            if g > 0:
+                # the unrolled groups have no data dependency except the
+                # accumulators; without this barrier XLA overlaps them and
+                # the peak grows by a full group working set per overlap
+                img_u, txt_u, img_po, txt_po = jax.lax.optimization_barrier(
+                    (img_m, txt_m, img_po, txt_po))
+            if ng == 1:
+                iq, ik, iv = img_q, img_k, img_v
+                tq, tk, tv = txt_q, txt_k, txt_v
+            else:
+                iq, ik, iv = _qkv_proj_group(p["img_attn_qkv"], img_u,
+                                             heads, d, g, hg)
+                iq, ik = _qk_norm(p["img_attn_q_norm"],
+                                  p["img_attn_k_norm"], iq, ik, cfg,
+                                  chunk=cfg.mlp_chunk_tokens)
+                tq, tk, tv = _qkv_proj_group(p["txt_attn_qkv"], txt_u,
+                                             heads, d, g, hg)
+                tq, tk = _qk_norm(p["txt_attn_q_norm"],
+                                  p["txt_attn_k_norm"], tq, tk, cfg)
+            q = jnp.concatenate([iq, tq], axis=1)
+            k = jnp.concatenate([ik, tk], axis=1)
+            v = jnp.concatenate([iv, tv], axis=1)
+            q, k = apply_rotary_emb(q, k, freqs_cis,
+                                    chunk=cfg.mlp_chunk_tokens)
+            attn = attention(q, k, v, mode=cfg.attn_mode,
+                             key_bias=key_bias)
+            o, e = g * hg * d, (g + 1) * hg * d
+            io = linear(_row_slice(p["img_attn_proj"], o, e,
+                                   keep_bias=(g == 0)), attn[:, :img_len])
+            to = linear(_row_slice(p["txt_attn_proj"], o, e,
+                                   keep_bias=(g == 0)), attn[:, img_len:])
+            img_po = io if img_po is None else img_po + io
+            txt_po = to if txt_po is None else txt_po + to
+    else:
+        if freqs_cis is not None:
+            img_q, img_k = apply_rotary_emb(img_q, img_k, freqs_cis,
+                                            chunk=cfg.mlp_chunk_tokens)
+        img_attn, txt_attn = joint_attention(
+            img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
+            mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
+            ring_axis=cfg.ring_axis, token_grid=token_grid,
+            sta_tile=cfg.sta_tile, sta_window=cfg.sta_window)
+        img_po = linear(p["img_attn_proj"], img_attn)
+        txt_po = linear(p["txt_attn_proj"], txt_attn)
 
-    img = img + apply_gate(linear(p["img_attn_proj"], img_attn), i_gate1)
+    img = img + apply_gate(img_po, i_gate1)
     img = img + apply_gate(
         _chunked_tokens(
             lambda u: mlp(p["img_mlp"], u, cfg.mlp_act_type),
             modulate(layer_norm(img), i_shift2, i_scale2),
             cfg.mlp_chunk_tokens), i_gate2)
-    txt = txt + apply_gate(linear(p["txt_attn_proj"], txt_attn), t_gate1)
+    txt = txt + apply_gate(txt_po, t_gate1)
     txt = txt + apply_gate(
         mlp(p["txt_mlp"], modulate(layer_norm(txt), t_shift2, t_scale2),
             cfg.mlp_act_type), t_gate2)
@@ -305,24 +413,64 @@ def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
     shift, scale, gate = jnp.split(mod, 3, -1)
     x_mod = modulate(layer_norm(x), shift, scale)
     h3 = 3 * cfg.hidden_size
-    q, k, v = _qkv_proj(_col_slice(p["linear1"], 0, h3), x_mod, heads, d)
-    q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k, cfg)
-    img_q, txt_q = q[:, :-txt_len], q[:, -txt_len:]
-    img_k, txt_k = k[:, :-txt_len], k[:, -txt_len:]
-    img_v, txt_v = v[:, :-txt_len], v[:, -txt_len:]
-    if freqs_cis is not None:
-        img_q, img_k = apply_rotary_emb(img_q, img_k, freqs_cis,
-                                        chunk=cfg.mlp_chunk_tokens)
-    img_attn, txt_attn = joint_attention(
-        img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
-        mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
-        ring_axis=cfg.ring_axis, token_grid=token_grid,
-        sta_tile=cfg.sta_tile, sta_window=cfg.sta_window)
-    attn = jnp.concatenate([img_attn, txt_attn], axis=1)
+    p_qkv = _col_slice(p["linear1"], 0, h3)
+    joint_rope = (freqs_cis is not None and freqs_cis[0].shape[0] == l)
+    if joint_rope:
+        # dit_forward extended the RoPE table with identity rows (cos=1,
+        # sin=0) over the text segment, so the joint q/k rotate in place:
+        # no img/txt splits and no re-concats — at 720p those copies were
+        # ~2 GB of HBM peak across the 40 single blocks. attn_head_chunks
+        # further runs attention per head group (column slices of linear1
+        # in, row slices of linear2 out — identical math) so the q/k/v
+        # working set is 1/N.
+        if txt_bias is not None:
+            key_bias = jnp.concatenate(
+                [jnp.zeros((b, 1, 1, l - txt_len), jnp.float32),
+                 txt_bias.astype(jnp.float32)], axis=-1)
+        else:
+            key_bias = None
+        ng = max(1, cfg.attn_head_chunks)
+        hg = heads // ng
+        out = None
+        x_u = x_mod
+        for g in range(ng):
+            if g > 0:
+                # sequence the unrolled groups (see double_block)
+                x_u, out = jax.lax.optimization_barrier((x_mod, out))
+            if ng == 1:
+                qg, kg, vg = _qkv_proj(p_qkv, x_u, heads, d)
+            else:
+                qg, kg, vg = _qkv_proj_group(p_qkv, x_u, heads, d, g, hg)
+            qg, kg = _qk_norm(p["q_norm"], p["k_norm"], qg, kg, cfg,
+                              chunk=cfg.mlp_chunk_tokens)
+            qg, kg = apply_rotary_emb(qg, kg, freqs_cis,
+                                      chunk=cfg.mlp_chunk_tokens)
+            attn = attention(qg, kg, vg, mode=cfg.attn_mode,
+                             key_bias=key_bias)
+            og = linear(_row_slice(p["linear2"], g * hg * d,
+                                   (g + 1) * hg * d, keep_bias=(g == 0)),
+                        attn)
+            out = og if out is None else out + og
+    else:
+        q, k, v = _qkv_proj(p_qkv, x_mod, heads, d)
+        q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k, cfg,
+                        chunk=cfg.mlp_chunk_tokens)
+        img_q, txt_q = q[:, :-txt_len], q[:, -txt_len:]
+        img_k, txt_k = k[:, :-txt_len], k[:, -txt_len:]
+        img_v, txt_v = v[:, :-txt_len], v[:, -txt_len:]
+        if freqs_cis is not None:
+            img_q, img_k = apply_rotary_emb(img_q, img_k, freqs_cis,
+                                            chunk=cfg.mlp_chunk_tokens)
+        img_attn, txt_attn = joint_attention(
+            img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
+            mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
+            ring_axis=cfg.ring_axis, token_grid=token_grid,
+            sta_tile=cfg.sta_tile, sta_window=cfg.sta_window)
+        attn = jnp.concatenate([img_attn, txt_attn], axis=1)
+        out = linear(_row_slice(p["linear2"], 0, cfg.hidden_size,
+                                keep_bias=True), attn)
     p1_mlp = _col_slice(p["linear1"], h3, None)
-    p2_attn = _row_slice(p["linear2"], 0, cfg.hidden_size, keep_bias=True)
     p2_mlp = _row_slice(p["linear2"], cfg.hidden_size, None, keep_bias=False)
-    out = linear(p2_attn, attn)
     out = out + _chunked_tokens(
         lambda u: linear(p2_mlp, ACT[cfg.mlp_act_type](linear(p1_mlp, u))),
         x_mod, cfg.mlp_chunk_tokens)
@@ -401,24 +549,66 @@ def dit_forward(
     else:
         raise NotImplementedError(cfg.text_projection)
 
+    if cfg.seq_pad_multiple:
+        # Align img_len + txt_len to the attention block size by padding
+        # the TEXT segment with masked tokens: the key-padding bias already
+        # silences masked text keys in every layer, so this is numerically
+        # inert for valid positions (same argument as ops/attention.py) —
+        # and it removes the flash wrapper's full-sequence pad copies,
+        # ~1.4 GB of HBM peak at 720p (the difference between fitting one
+        # chip and OOM).
+        extra = (-(img_len + txt.shape[1])) % cfg.seq_pad_multiple
+        if extra:
+            txt = jnp.pad(txt, ((0, 0), (0, extra), (0, 0)))
+            text_mask = (jnp.pad(text_mask, ((0, 0), (0, extra)))
+                         if text_mask is not None else
+                         jnp.pad(jnp.ones((b, txt.shape[1] - extra),
+                                          jnp.int32),
+                                 ((0, 0), (0, extra))))
+
     txt_len = txt.shape[1]
     txt_bias = text_key_bias(text_mask) if text_mask is not None else None
     freqs_cis = (freqs_cos, freqs_sin) if freqs_cos is not None else None
+
+    # Joint RoPE table for the double- and single-stream blocks: identity
+    # rows (cos=1,
+    # sin=0) over the text segment let them rotate the whole [img|txt]
+    # sequence in place instead of split -> rotate img -> re-concat (those
+    # copies were ~2 GB of HBM peak at 720p). Only valid when attention
+    # consumes the joint layout directly (not STA / sequence parallel).
+    joint_ok = (cfg.attn_mode != "sta" and not cfg.ulysses_axis
+                and not cfg.ring_axis)
+    if freqs_cis is not None and joint_ok:
+        if freqs_cos.shape[0] == img_len + txt_len:
+            # caller passed a pre-extended joint table (identity rows over
+            # text); using it directly avoids keeping both the img-only
+            # args and the extension copies live across the whole scan
+            # (117 MB at 720p) — see make_joint_freqs
+            freqs_cis_sgl = freqs_cis
+        else:
+            fd = freqs_cos.shape[-1]
+            freqs_cis_sgl = (
+                jnp.concatenate(
+                    [freqs_cos, jnp.ones((txt_len, fd), freqs_cos.dtype)]),
+                jnp.concatenate(
+                    [freqs_sin, jnp.zeros((txt_len, fd), freqs_sin.dtype)]))
+    else:
+        freqs_cis_sgl = freqs_cis
 
     token_grid = (tt, th, tw)
 
     def make_dbl(block_cfg):
         def dbl(carry, bp):
             img, txt = carry
-            img, txt = double_block(bp, img, txt, vec, txt_bias, freqs_cis,
-                                    block_cfg, token_grid)
+            img, txt = double_block(bp, img, txt, vec, txt_bias,
+                                    freqs_cis_sgl, block_cfg, token_grid)
             return (img, txt), None
         return jax.checkpoint(dbl) if cfg.remat_blocks else dbl
 
     def make_sgl(block_cfg):
         def sgl(xx, bp):
-            return single_block(bp, xx, vec, txt_len, txt_bias, freqs_cis,
-                                block_cfg, token_grid), None
+            return single_block(bp, xx, vec, txt_len, txt_bias,
+                                freqs_cis_sgl, block_cfg, token_grid), None
         return jax.checkpoint(sgl) if cfg.remat_blocks else sgl
 
     def run_stack(carry, stack, make_fn, n_dense):

@@ -37,6 +37,17 @@ class DiTConfig:
     # Token-chunked MLP branches: bounds the [L, mlp_hidden] transient so
     # 720p-class token counts fit one chip. None = unchunked.
     mlp_chunk_tokens: Optional[int] = None
+    # Split attention into N sequential head groups (joint-rope path only):
+    # q/k/v are projected per group from column slices of the fused qkv
+    # weights and the output projection accumulates from row slices —
+    # algebraically identical, but full-sequence q/k/v buffers never exist
+    # (each group's working set is 1/N), which is what fits 720p x 129f on
+    # a single 16 GB chip. 1 = off.
+    attn_head_chunks: int = 1
+    # Pad the text segment so img_len + txt_len is a multiple of this
+    # (the flash kernel block size): removes the attention wrapper's
+    # full-sequence pad copies (~1.4 GB peak at 720p). None = no padding.
+    seq_pad_multiple: Optional[int] = None
     # Sliding Tile Attention (attn_mode="sta"; ops/sta.py): tile shape in
     # (t, h, w) patch-grid units (product = kernel block) and the sliding
     # window in tiles. Sparse attention — opt-in quality/speed trade.

@@ -188,6 +188,11 @@ def _flash_nomax_packed(q, k, v, kb, c, heads: int, scale: float,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+        # out overwrites q's buffer: each grid cell writes exactly the
+        # (rows qi, head-columns hi) region whose q reads it has finished,
+        # and no other cell touches that region — saves a full-sequence
+        # buffer (702 MB at 720p)
+        input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
@@ -238,6 +243,7 @@ def _flash_packed(q, k, v, kb, heads: int, scale: float, block_q: int,
         out_specs=pl.BlockSpec((1, block_q, d),
                                lambda bi, hi, qi, ki: (bi, qi, hi)),
         out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+        input_output_aliases={1: 0},  # out overwrites q (see nomax variant)
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -286,8 +292,8 @@ def flash_attention(
     scale = scale if scale is not None else d ** -0.5
     interpret = jax.default_backend() != "tpu"
 
-    block_q = min(block_q, _round_up(sq, 128))
-    block_k = min(block_k, _round_up(sk, 128))
+    block_q = _pick_block(block_q, sq)
+    block_k = _pick_block(block_k, sk)
     sq_p = _round_up(sq, block_q)
     sk_p = _round_up(sk, block_k)
 
@@ -325,6 +331,20 @@ def flash_attention(
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _pick_block(block: int, s: int) -> int:
+    """Largest block <= `block` that divides s, if any — a dividing block
+    skips the full-sequence pad copies (jnp.pad of [B, S, H*D] is ~700 MB
+    each for q/k/v at 720p; with seq_pad_multiple the model keeps S
+    aligned and attention runs copy-free)."""
+    block = min(block, _round_up(s, 128))
+    if s % block == 0:
+        return block
+    for cand in (1024, 512, 256, 128):
+        if cand < block and s % cand == 0:
+            return cand
+    return block
 
 
 # --------------------------------------------------------------------------
@@ -475,8 +495,8 @@ def flash_attention_int8(
     scale_f = scale if scale is not None else d ** -0.5
     interpret = jax.default_backend() != "tpu"
 
-    block_q = min(block_q, _round_up(sq_len, 128))
-    block_k = min(block_k, _round_up(sk_len, 128))
+    block_q = _pick_block(block_q, sq_len)
+    block_k = _pick_block(block_k, sk_len)
     sq_p = _round_up(sq_len, block_q)
     sk_p = _round_up(sk_len, block_k)
 

@@ -130,3 +130,20 @@ def apply_rotary_emb(
         return yc.transpose(1, 0, 2, 3, 4).reshape(b, nc * chunk, h, d)[:, :s_]
 
     return chunked(xq), chunked(xk)
+
+
+def make_joint_freqs(cos, sin, txt_len: int,
+                     seq_pad_multiple=None):
+    """Extend an img-only RoPE table with identity rows (cos=1, sin=0) over
+    `txt_len` text tokens (+ alignment padding, mirroring dit_forward's
+    seq_pad_multiple text pad). Passing the pre-extended table to
+    dit_forward saves keeping two full tables alive across the denoise
+    scan."""
+    img_len, d = cos.shape
+    if seq_pad_multiple:
+        txt_len += (-(img_len + txt_len)) % seq_pad_multiple
+    cos = np.concatenate(
+        [np.asarray(cos), np.ones((txt_len, d), np.asarray(cos).dtype)])
+    sin = np.concatenate(
+        [np.asarray(sin), np.zeros((txt_len, d), np.asarray(sin).dtype)])
+    return jnp.asarray(cos), jnp.asarray(sin)

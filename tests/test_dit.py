@@ -166,3 +166,65 @@ class TestConfig:
     def test_invalid_rope_dims(self):
         with pytest.raises(ValueError):
             DiTConfig(hidden_size=64, heads_num=4, rope_dim_list=(4, 4, 4))
+
+
+def test_seq_pad_multiple_is_inert():
+    """Padding the text segment to align img+txt to the attention block
+    size must not change the output (masked text keys are silenced by the
+    key-padding bias in every layer)."""
+    from dataclasses import replace
+
+    from hunyuanvideo_efficiency_tpu.models.dit import (dit_forward,
+                                                        init_dit_params)
+    from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+    from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
+
+    cfg = DiTConfig(hidden_size=128, heads_num=4, mm_double_blocks_depth=2,
+                    mm_single_blocks_depth=2, rope_dim_list=(8, 12, 12),
+                    text_states_dim=64, text_states_dim_2=32,
+                    attn_mode="sdpa")
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    x = jax.random.normal(ks[0], (1, 16, 3, 8, 6), jnp.float32)
+    t = jnp.full((1,), 500.0)
+    pe = jax.random.normal(ks[1], (1, 8, 64), jnp.float32)
+    mask = jnp.ones((1, 8), jnp.int32).at[:, 6:].set(0)
+    pe2 = jax.random.normal(ks[2], (1, 32), jnp.float32)
+    cos, sin = get_nd_rotary_pos_embed(cfg.rope_dim_list, (3, 4, 3),
+                                       theta=cfg.rope_theta)
+    ref = dit_forward(params, x, t, pe, mask, pe2, cos, sin, cfg=cfg)
+    # img_len 36 + txt 8 = 44 -> pad to 64
+    cfg_p = replace(cfg, seq_pad_multiple=64)
+    out = dit_forward(params, x, t, pe, mask, pe2, cos, sin, cfg=cfg_p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_attn_head_chunks_exact():
+    """Head-grouped attention (column-sliced qkv in, row-sliced projection
+    out) is algebraically identical to the single-group path."""
+    from dataclasses import replace
+
+    from hunyuanvideo_efficiency_tpu.models.dit import (dit_forward,
+                                                        init_dit_params)
+    from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+    from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
+
+    cfg = DiTConfig(hidden_size=128, heads_num=4, mm_double_blocks_depth=2,
+                    mm_single_blocks_depth=2, rope_dim_list=(8, 12, 12),
+                    text_states_dim=64, text_states_dim_2=32,
+                    attn_mode="sdpa", seq_pad_multiple=64)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(6), 4)
+    x = jax.random.normal(ks[0], (1, 16, 3, 8, 6), jnp.float32)
+    t = jnp.full((1,), 500.0)
+    pe = jax.random.normal(ks[1], (1, 8, 64), jnp.float32)
+    mask = jnp.ones((1, 8), jnp.int32).at[:, 6:].set(0)
+    pe2 = jax.random.normal(ks[2], (1, 32), jnp.float32)
+    cos, sin = get_nd_rotary_pos_embed(cfg.rope_dim_list, (3, 4, 3),
+                                       theta=cfg.rope_theta)
+    ref = dit_forward(params, x, t, pe, mask, pe2, cos, sin, cfg=cfg)
+    out = dit_forward(params, x, t, pe, mask, pe2, cos, sin,
+                      cfg=replace(cfg, attn_head_chunks=2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
