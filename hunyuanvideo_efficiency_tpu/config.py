@@ -124,6 +124,10 @@ class InferenceArgs:
     # int4-pack the adaLN modulation weights (3.4B of the 13B params) —
     # the opt-in storage tier that fits 720p x 129f on a single 16 GB chip.
     use_int4_modulation: bool = False
+    # False = drive the denoise loop from the host, one dispatch per step
+    # (progress feedback; required where the runtime bounds on-device
+    # program duration). True = single fused lax.scan program.
+    scan_denoise: bool = True
     # Accepted for reference-flag compatibility (config.py:355-359, threads
     # into text-encoder do_sample there). Our stack is deterministic by
     # construction: explicit PRNG keys, greedy text encode, no sampling —
@@ -227,6 +231,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "use-fp8", d.use_fp8)
     _add_bool_flag(p, "use-int8", d.use_int8)
     _add_bool_flag(p, "use-int4-modulation", d.use_int4_modulation)
+    _add_bool_flag(p, "scan-denoise", d.scan_denoise)
     _add_bool_flag(p, "reproduce", d.reproduce)
 
     g = p.add_argument_group("parallel")

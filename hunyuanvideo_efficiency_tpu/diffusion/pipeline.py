@@ -42,6 +42,51 @@ def rescale_noise_cfg(noise_cfg: jnp.ndarray, noise_pred_text: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("cfg", "do_cfg", "guidance_scale",
                                    "embedded_guidance_scale", "guidance_rescale"))
+def denoise_step(
+    dit_params: Dict[str, Any],
+    latents: jnp.ndarray,
+    sigma: jnp.ndarray,
+    sigma_next: jnp.ndarray,
+    t: jnp.ndarray,
+    prompt_embeds: jnp.ndarray,
+    prompt_mask: jnp.ndarray,
+    prompt_embeds_2: jnp.ndarray,
+    freqs_cos: jnp.ndarray,
+    freqs_sin: jnp.ndarray,
+    cfg: DiTConfig,
+    do_cfg: bool,
+    guidance_scale: float,
+    embedded_guidance_scale: Optional[float],
+    guidance_rescale: float,
+) -> jnp.ndarray:
+    """One denoise step as its own dispatch — the host-driven alternative
+    to the fused scan (`scan_denoise=False`): per-step progress callbacks,
+    early abort, and single-dispatch on-device times bounded by one step
+    (required where the runtime limits program duration; see CLAUDE.md).
+    Numerics are identical to the scan body."""
+    mult = 2 if do_cfg else 1
+    latent_in = (jnp.concatenate([latents] * mult, axis=0)
+                 if do_cfg else latents)
+    t_expand = jnp.full((latent_in.shape[0],), t, jnp.float32)
+    guidance = None
+    if cfg.guidance_embed:
+        guidance = jnp.full((latent_in.shape[0],),
+                            (embedded_guidance_scale or 0.0) * 1000.0,
+                            jnp.float32)
+    v = dit_forward(dit_params, latent_in, t_expand, prompt_embeds,
+                    prompt_mask, prompt_embeds_2, freqs_cos, freqs_sin,
+                    guidance, cfg=cfg)
+    v = v.astype(jnp.float32)
+    if do_cfg:
+        v_uncond, v_text = jnp.split(v, 2, axis=0)
+        v = v_uncond + guidance_scale * (v_text - v_uncond)
+        if guidance_rescale > 0.0:
+            v = rescale_noise_cfg(v, v_text, guidance_rescale)
+    return euler_step(latents, v, sigma, sigma_next)
+
+
+@partial(jax.jit, static_argnames=("cfg", "do_cfg", "guidance_scale",
+                                   "embedded_guidance_scale", "guidance_rescale"))
 def denoise_latents(
     dit_params: Dict[str, Any],
     latents: jnp.ndarray,           # [B, C, T', H', W'] fp32
@@ -108,8 +153,15 @@ class HunyuanVideoPipeline:
                  transformer_cfg: DiTConfig,
                  scheduler: FlowMatchDiscreteScheduler,
                  precision: str = "bf16", vae_precision: str = "fp16",
-                 args=None, offload_encoders: bool = False):
+                 args=None, offload_encoders: bool = False,
+                 offload_transformer: bool = False):
         self.offload_encoders = offload_encoders or bool(
+            getattr(args, "use_cpu_offload", False))
+        # park DiT weights in host memory while the VAE decodes (the
+        # reference's sequential cpu-offload, inference.py:443-446 /
+        # pipeline :164-166): on a 16 GB chip the 12.8 GB quantized DiT
+        # plus decode-tile activations do not fit together
+        self.offload_transformer = offload_transformer or bool(
             getattr(args, "use_cpu_offload", False))
         self.vae = vae
         self.text_encoder = text_encoder
@@ -187,6 +239,8 @@ class HunyuanVideoPipeline:
         output_type: str = "pil",
         data_type: str = "video",
         n_tokens: Optional[int] = None,
+        scan_denoise: bool = True,
+        progress_callback=None,
     ) -> HunyuanVideoPipelineOutput:
         self.check_inputs(height, width, video_length, vae_ver)
         do_cfg = guidance_scale > 1.0
@@ -235,16 +289,57 @@ class HunyuanVideoPipeline:
                 latents = jax.random.normal(key, shape, jnp.float32)
         latents = latents.astype(jnp.float32)
 
-        latents = denoise_latents(
-            self.transformer_params, latents, sigmas, timesteps,
-            pe, mask, pe2, freqs_cis[0], freqs_cis[1],
-            cfg=cfg, do_cfg=do_cfg, guidance_scale=float(guidance_scale),
-            embedded_guidance_scale=(float(embedded_guidance_scale)
-                                     if embedded_guidance_scale is not None else None),
-            guidance_rescale=float(guidance_rescale))
+        if self.offload_transformer:
+            # sequential offload: only the phase that is executing keeps
+            # its weights on device (restore is a no-op when already there)
+            self.transformer_params = jax.device_put(
+                self.transformer_params, jax.devices()[0])
+            if self.vae is not None:
+                self.vae.params = jax.device_put(
+                    self.vae.params, jax.devices("cpu")[0])
+        egs = (float(embedded_guidance_scale)
+               if embedded_guidance_scale is not None else None)
+        if scan_denoise:
+            # the TPU-native default: all steps fused in one program
+            latents = denoise_latents(
+                self.transformer_params, latents, sigmas, timesteps,
+                pe, mask, pe2, freqs_cis[0], freqs_cis[1],
+                cfg=cfg, do_cfg=do_cfg,
+                guidance_scale=float(guidance_scale),
+                embedded_guidance_scale=egs,
+                guidance_rescale=float(guidance_rescale))
+        else:
+            # host-driven loop: one dispatch per step (progress callbacks,
+            # early abort, bounded per-program device time); same compiled
+            # step reused across iterations, numerics identical to the scan
+            for i in range(int(timesteps.shape[0])):
+                latents = denoise_step(
+                    self.transformer_params, latents, sigmas[i],
+                    sigmas[i + 1], timesteps[i],
+                    pe, mask, pe2, freqs_cis[0], freqs_cis[1],
+                    cfg=cfg, do_cfg=do_cfg,
+                    guidance_scale=float(guidance_scale),
+                    embedded_guidance_scale=egs,
+                    guidance_rescale=float(guidance_rescale))
+                # Serialize: async dispatch lets the runtime overlap
+                # program workspaces (several GB each) and exhaust HBM;
+                # a scalar readback is the reliable sync even on remote
+                # runtimes where block_until_ready can be a no-op. Costs
+                # one 4-byte device->host transfer per step.
+                jax.device_get(latents.ravel()[0])
+                if progress_callback is not None:
+                    progress_callback(i, latents)
 
         if output_type == "latent":
             return HunyuanVideoPipelineOutput(videos=np.asarray(latents))
+
+        if self.offload_transformer:
+            latents = jax.device_put(np.asarray(latents))  # force + detach
+            cpu = jax.devices("cpu")[0]
+            self.transformer_params = jax.device_put(
+                self.transformer_params, cpu)
+            self.vae.params = jax.device_put(self.vae.params,
+                                             jax.devices()[0])
 
         # decode (reference :1047-1092)
         vcfg = self.vae.cfg

@@ -324,6 +324,7 @@ class HunyuanVideoSampler(Inference):
                 vae_ver=self.args.vae,
                 enable_tiling=self.args.vae_tiling,
                 data_type="video" if video_length > 1 else "image",
+                scan_denoise=getattr(self.args, "scan_denoise", True),
             ).videos
         gen_time = time.time() - start
         if self.logger:

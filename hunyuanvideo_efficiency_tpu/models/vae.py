@@ -358,12 +358,24 @@ class AutoencoderKLCausal3D:
         self.dtype = dtype
         self.use_slicing = False
         self.use_spatial_tiling = False
+        # Uniform tiling: replicate-pad the latent so every decode tile
+        # shares ONE shape. Ragged edge tiles otherwise compile a separate
+        # XLA program per distinct shape (~6-8 programs at 544p; minutes
+        # each on remote-compile backends). Replicate-padded latents feed
+        # the convs the same edge values their own replicate padding
+        # would, so only the last ~receptive-field pixels at the
+        # bottom/right borders deviate slightly from the reference's
+        # per-tile numerics. Off by default (exact parity).
+        self.uniform_tiles = False
         self.use_temporal_tiling = False
         self.tile_overlap_factor = cfg.tile_overlap_factor
         # equal-shape tiles batched per dispatch; decode activations are
         # ~1 GB/tile at full res, so keep the decode group small
         self.encode_tile_batch = 8
-        self.decode_tile_batch = 2
+        # one full-size decode tile's widest stage is ~4 GB of activations
+        # (256ch x 65f x 256^2 + conv/norm transients); batching two made
+        # big-tile decode un-compilable on a 16 GB chip
+        self.decode_tile_batch = 1
         # With a mesh, tile batches are sharded data-parallel over ALL mesh
         # devices (tiles are independent; the reference instead decodes
         # tile-by-tile on one GPU, autoencoder_kl_causal_3d.py:422-469).
@@ -472,7 +484,10 @@ class AutoencoderKLCausal3D:
                     tile = _blend(row[j - 1], tile, blend_extent, axis=3)
                 out_row.append(tile[:, :, :row_limit, :row_limit, :])
             out_rows.append(jnp.concatenate(out_row, axis=3))
-        return jnp.concatenate(out_rows, axis=2)
+        out = jnp.concatenate(out_rows, axis=2)
+        if crop_h is not None:
+            out = out[:, :, :crop_h, :crop_w, :]
+        return out
 
     def _spatial_tiled_decode(self, z):
         cfg = self.cfg
@@ -480,6 +495,21 @@ class AutoencoderKLCausal3D:
         blend_extent = int(cfg.tile_sample_min_size * self.tile_overlap_factor)
         row_limit = cfg.tile_sample_min_size - blend_extent
         H, W = z.shape[2], z.shape[3]
+        sf = 2 ** (len(cfg.block_out_channels) - 1)
+        tl = cfg.tile_latent_min_size
+        crop_h = crop_w = None
+        if self.uniform_tiles:
+            last_i = ((H - 1) // overlap) * overlap
+            last_j = ((W - 1) // overlap) * overlap
+            crop_h = (len(range(0, H, overlap)) - 1) * row_limit \
+                + min((H - last_i) * sf, row_limit)
+            crop_w = (len(range(0, W, overlap)) - 1) * row_limit \
+                + min((W - last_j) * sf, row_limit)
+            pad_h = max(0, last_i + tl - H)
+            pad_w = max(0, last_j + tl - W)
+            if pad_h or pad_w:
+                z = jnp.pad(z, ((0, 0), (0, 0), (0, pad_h), (0, pad_w),
+                               (0, 0)), mode="edge")
         in_tiles = []
         grid = []
         for i in range(0, H, overlap):
@@ -502,7 +532,10 @@ class AutoencoderKLCausal3D:
                     tile = _blend(row[j - 1], tile, blend_extent, axis=3)
                 out_row.append(tile[:, :, :row_limit, :row_limit, :])
             out_rows.append(jnp.concatenate(out_row, axis=3))
-        return jnp.concatenate(out_rows, axis=2)
+        out = jnp.concatenate(out_rows, axis=2)
+        if crop_h is not None:
+            out = out[:, :, :crop_h, :crop_w, :]
+        return out
 
     def _temporal_tiled_encode(self, x):
         cfg = self.cfg
@@ -529,7 +562,12 @@ class AutoencoderKLCausal3D:
                 out.append(tile[:, :t_limit])
             else:
                 out.append(tile[:, :t_limit + 1])
-        return jnp.concatenate(out, axis=1)
+        res = jnp.concatenate(out, axis=1)
+        if self.uniform_tiles:
+            # crop to the frame count the unpadded tiling would produce
+            tf = 4  # 884 temporal factor
+            res = res[:, :(true_t - 1) * tf + 1]
+        return res
 
     def _temporal_tiled_decode(self, z):
         cfg = self.cfg
@@ -537,8 +575,15 @@ class AutoencoderKLCausal3D:
         overlap = int(cfg.tile_latent_min_tsize * (1 - self.tile_overlap_factor))
         blend_extent = int(cfg.tile_sample_min_tsize * self.tile_overlap_factor)
         t_limit = cfg.tile_sample_min_tsize - blend_extent
+        if self.uniform_tiles:
+            last_i = ((T - 1) // overlap) * overlap
+            pad_t = max(0, last_i + cfg.tile_latent_min_tsize + 1 - T)
+            true_t = T
+            if pad_t:
+                z = jnp.pad(z, ((0, 0), (0, pad_t), (0, 0), (0, 0),
+                               (0, 0)), mode="edge")
         tiles = []
-        for i in range(0, T, overlap):
+        for i in range(0, true_t if self.uniform_tiles else T, overlap):
             tile = z[:, i:i + cfg.tile_latent_min_tsize + 1]
             if self.use_spatial_tiling and (
                     tile.shape[2] > cfg.tile_latent_min_size
@@ -556,7 +601,12 @@ class AutoencoderKLCausal3D:
                 out.append(tile[:, :t_limit])
             else:
                 out.append(tile[:, :t_limit + 1])
-        return jnp.concatenate(out, axis=1)
+        res = jnp.concatenate(out, axis=1)
+        if self.uniform_tiles:
+            # crop to the frame count the unpadded tiling would produce
+            tf = 4  # 884 temporal factor
+            res = res[:, :(true_t - 1) * tf + 1]
+        return res
 
     # -- public API ([B, C, T, H, W] boundary) --
     def encode_moments(self, x: jnp.ndarray) -> jnp.ndarray:

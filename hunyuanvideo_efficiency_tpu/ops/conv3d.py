@@ -36,7 +36,7 @@ def causal_conv3d(
     kernel: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     stride: Tuple[int, int, int] = (1, 1, 1),
-    impl: str = "t2d",
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Causal conv over [B, T, H, W, C] with kernel [kt, kh, kw, Cin, Cout].
 
@@ -45,12 +45,18 @@ def causal_conv3d(
     F.pad(..., (kw//2, kw//2, kh//2, kh//2, kt-1, 0), mode='replicate')
     (reference: hyvideo/vae/unet_causal_3d_blocks.py:68-75).
 
-    impl="t2d" (default) decomposes the 3D conv into kt temporally-shifted
-    2D NHWC convs summed together — identical math, but the [B*T, H, W, C]
-    2D conv is the layout XLA:TPU tiles best. impl="3d" is the direct
-    conv_general_dilated form.
+    impl="t2d" decomposes the 3D conv into kt temporally-shifted 2D NHWC
+    convs summed together — identical math, but the [B*T, H, W, C] 2D conv
+    is the layout XLA:TPU tiles best. impl="3d" is the direct
+    conv_general_dilated form. impl="auto" (default) picks t2d for small
+    tensors and 3d for large ones: the decomposition materializes kt
+    shifted full-tensor copies (3 x 4.2 GB at a 256px decode tile's widest
+    stage — the allocation that made big-tile VAE decode un-compilable on
+    one chip), while the direct form needs only the padded input.
     """
     kt, kh, kw = kernel.shape[0], kernel.shape[1], kernel.shape[2]
+    if impl == "auto":
+        impl = "3d" if x.size >= 200_000_000 else "t2d"
     if impl == "3d" or kt == 1:
         pad = [(0, 0), (kt - 1, 0), (kh // 2, kh // 2),
                (kw // 2, kw // 2), (0, 0)]

@@ -154,3 +154,51 @@ class TestPipeline:
             HunyuanVideoPipeline.check_inputs(32, 32, 10)
         with pytest.raises(ValueError):
             HunyuanVideoPipeline.check_inputs(33, 32, 9)
+
+
+def test_stepwise_denoise_matches_scan(pipeline):
+    """scan_denoise=False (host-driven loop; for progress callbacks and
+    runtimes limiting program duration) is numerically identical to the
+    fused-scan path."""
+    pe, mask, pe2 = _embeds(2)
+    freqs = get_nd_rotary_pos_embed(TINY_DIT.rope_dim_list, (3, 2, 2),
+                                    theta=256.0)
+    kwargs = dict(height=32, width=32, video_length=9,
+                  num_inference_steps=4, guidance_scale=2.0,
+                  embedded_guidance_scale=6.0, key=jax.random.PRNGKey(0),
+                  prompt_embeds=pe, prompt_mask=mask, prompt_embeds_2=pe2,
+                  freqs_cis=freqs, output_type="latent")
+    a = pipeline(**kwargs).videos
+    steps = []
+    b = pipeline(**kwargs, scan_denoise=False,
+                 progress_callback=lambda i, _: steps.append(i)).videos
+    assert steps == [0, 1, 2, 3]
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_offload_transformer_roundtrip():
+    """offload_transformer parks DiT weights on host during decode and
+    restores them for the next call; outputs match the resident path."""
+    vae = AutoencoderKLCausal3D(
+        TINY_VAE, init_vae_params(jax.random.PRNGKey(1), TINY_VAE))
+    dit_params = init_dit_params(jax.random.PRNGKey(2), TINY_DIT)
+    sch = FlowMatchDiscreteScheduler(shift=7.0, reverse=True)
+    pipe = HunyuanVideoPipeline(
+        vae=vae, text_encoder=None, text_encoder_2=None,
+        transformer_params=dit_params, transformer_cfg=TINY_DIT,
+        scheduler=sch, offload_transformer=True)
+    pe, mask, pe2 = _embeds(1)
+    freqs = get_nd_rotary_pos_embed(TINY_DIT.rope_dim_list, (3, 2, 2),
+                                    theta=256.0)
+    kwargs = dict(height=32, width=32, video_length=9,
+                  num_inference_steps=2, guidance_scale=1.0,
+                  embedded_guidance_scale=6.0, key=jax.random.PRNGKey(0),
+                  prompt_embeds=pe, prompt_mask=mask, prompt_embeds_2=pe2,
+                  freqs_cis=freqs)
+    a = pipe(**kwargs).videos
+    # after decode the params sit on host
+    leaf = jax.tree.leaves(pipe.transformer_params)[0]
+    assert leaf.devices() == {jax.devices("cpu")[0]}
+    # second call restores them and reproduces the output
+    b = pipe(**kwargs).videos
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

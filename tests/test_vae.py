@@ -265,3 +265,28 @@ class TestDiagonalGaussian:
         s = g.sample(jax.random.PRNGKey(0))
         assert abs(float(s.mean()) - 3.0) < 0.1
         assert abs(float(s.std()) - 1.0) < 0.1
+
+
+def test_uniform_tiles_decode_matches_except_borders():
+    """uniform_tiles pads the latent so all decode tiles share one shape
+    (one compiled program instead of one per ragged edge shape); output
+    shape is identical and values match away from the last-tile borders."""
+    cfg = VAEConfig(latent_channels=4, block_out_channels=(8, 8, 16, 16),
+                    layers_per_block=1, norm_num_groups=4, sample_size=32,
+                    sample_tsize=16, scaling_factor=0.476986)
+    vae = AutoencoderKLCausal3D(
+        cfg, init_vae_params(jax.random.PRNGKey(0), cfg))
+    vae.enable_tiling()
+    # latent H=7, W=9: ragged vs tile_latent_min_size=4
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 5, 7, 9),
+                          jnp.float32)
+    a = np.asarray(vae.decode(z))
+    vae.uniform_tiles = True
+    b = np.asarray(vae.decode(z))
+    assert a.shape == b.shape, (a.shape, b.shape)
+    assert np.isfinite(b).all()
+    # identical away from the padded borders: early frames (first
+    # temporal tile) and before the last spatial tile's output region
+    # (tiles start every row_limit=24 px; the last starts at 48)
+    np.testing.assert_allclose(a[:, :, :8, :48, :48],
+                               b[:, :, :8, :48, :48], rtol=1e-4, atol=1e-4)
