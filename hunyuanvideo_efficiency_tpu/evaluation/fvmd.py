@@ -40,8 +40,11 @@ def _to_gray_u8(video: np.ndarray) -> np.ndarray:
     """[T, H, W, C] or [T, H, W] float/uint8 -> [T, H, W] uint8 gray."""
     v = np.asarray(video)
     if v.dtype != np.uint8:
-        v = np.clip(v, 0.0, 1.0 if v.max() <= 1.0 else 255.0)
-        if v.max() <= 1.0:
+        # [0, 1]-range detection tolerates decoder overshoot (e.g. a VAE
+        # decode peaking at 1.02 is still unit-range data, not 0-255)
+        unit_range = v.max() <= 2.0
+        v = np.clip(v, 0.0, 1.0 if unit_range else 255.0)
+        if unit_range:
             v = v * 255.0
         v = v.astype(np.uint8)
     if v.ndim == 4:

@@ -462,6 +462,32 @@ class AutoencoderKLCausal3D:
         blend_extent = int(cfg.tile_latent_min_size * self.tile_overlap_factor)
         row_limit = cfg.tile_latent_min_size - blend_extent
         H, W = x.shape[2], x.shape[3]
+        ts = cfg.tile_sample_min_size
+        stages = len(cfg.block_out_channels) - 1
+
+        def enc_size(s):
+            # encoder spatial latent size for a sample extent s: each
+            # downsample stage is pad-k//2 + stride-2 VALID -> ceil(s/2)
+            for _ in range(stages):
+                s = (s + 1) // 2
+            return s
+
+        crop_h = crop_w = None
+        if self.uniform_tiles:
+            # Pad the sample so every encode tile shares ONE shape (see
+            # uniform_tiles note in __init__); crop the latent back to the
+            # extent the unpadded ragged tiling would produce.
+            last_i = ((H - 1) // overlap) * overlap
+            last_j = ((W - 1) // overlap) * overlap
+            crop_h = (len(range(0, H, overlap)) - 1) * row_limit \
+                + min(enc_size(H - last_i), row_limit)
+            crop_w = (len(range(0, W, overlap)) - 1) * row_limit \
+                + min(enc_size(W - last_j), row_limit)
+            pad_h = max(0, last_i + ts - H)
+            pad_w = max(0, last_j + ts - W)
+            if pad_h or pad_w:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_h), (0, pad_w),
+                               (0, 0)), mode="edge")
         in_tiles = []
         grid = []
         for i in range(0, H, overlap):
@@ -543,8 +569,17 @@ class AutoencoderKLCausal3D:
         overlap = int(cfg.tile_sample_min_tsize * (1 - self.tile_overlap_factor))
         blend_extent = int(cfg.tile_latent_min_tsize * self.tile_overlap_factor)
         t_limit = cfg.tile_latent_min_tsize - blend_extent
+        if self.uniform_tiles:
+            # Edge-pad so every temporal encode tile shares ONE shape (the
+            # decode path does the same); crop the latent back afterwards.
+            last_i = ((T - 1) // overlap) * overlap
+            pad_t = max(0, last_i + cfg.tile_sample_min_tsize + 1 - T)
+            true_t = T
+            if pad_t:
+                x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0), (0, 0),
+                               (0, 0)), mode="edge")
         tiles = []
-        for i in range(0, T, overlap):
+        for i in range(0, true_t if self.uniform_tiles else T, overlap):
             tile = x[:, i:i + cfg.tile_sample_min_tsize + 1]
             if self.use_spatial_tiling and (
                     tile.shape[2] > cfg.tile_sample_min_size
@@ -564,9 +599,10 @@ class AutoencoderKLCausal3D:
                 out.append(tile[:, :t_limit + 1])
         res = jnp.concatenate(out, axis=1)
         if self.uniform_tiles:
-            # crop to the frame count the unpadded tiling would produce
+            # crop to the LATENT frame count the unpadded tiling would
+            # produce: T sample frames -> (T-1)//tf + 1 latent frames
             tf = 4  # 884 temporal factor
-            res = res[:, :(true_t - 1) * tf + 1]
+            res = res[:, :(true_t - 1) // tf + 1]
         return res
 
     def _temporal_tiled_decode(self, z):
