@@ -131,6 +131,51 @@ def test_sp_denoise_parity():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_sp_denoise_cfg_rescale_parity():
+    """Sharded denoise with CFG + guidance_rescale > 0 == sequential.
+
+    The rescale branch is the only sp_dit path doing cross-device
+    statistics (pmean'd moments over the sp axes); this pins it against
+    `rescale_noise_cfg` (reference pipeline_hunyuan_video.py:56-71,
+    1006-1018)."""
+    from hunyuanvideo_efficiency_tpu.diffusion.pipeline import denoise_latents
+
+    b = 1
+    key = jax.random.PRNGKey(13)
+    params = init_dit_params(jax.random.PRNGKey(5), TINY)
+    # init zero-inits the final layer -> v == 0 -> rescale hits 0/0; give it
+    # real output so the std-ratio path is actually exercised
+    fl = params["final_layer"]["linear"]
+    fl["kernel"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(99), fl["kernel"].shape, jnp.float32)
+    x, _, _, _, _, cos, sin, (tt, th, tw) = _tiny_inputs(key, b)
+    ks = jax.random.split(jax.random.PRNGKey(21), 2)
+    # CFG batches: [uncond | text] along batch
+    txt = jax.random.normal(ks[0], (2 * b, 8, TINY.text_states_dim),
+                            jnp.float32)
+    mask = jnp.ones((2 * b, 8), jnp.int32)
+    txt2 = jax.random.normal(ks[1], (2 * b, TINY.text_states_dim_2),
+                             jnp.float32)
+    sigmas_np, ts_np = get_sigmas(3, shift=7.0)
+    sigmas = jnp.asarray(sigmas_np)
+    timesteps = jnp.asarray(ts_np)
+
+    ref = denoise_latents(params, x, sigmas, timesteps, txt, mask, txt2,
+                          cos, sin, cfg=TINY, do_cfg=True,
+                          guidance_scale=6.0, embedded_guidance_scale=None,
+                          guidance_rescale=0.7)
+
+    pcfg = ParallelConfig(ulysses_degree=2, ring_degree=2)
+    mesh = make_mesh(pcfg)
+    fn = make_sp_denoise_fn(mesh, TINY, pcfg, do_cfg=True,
+                            guidance_scale=6.0, guidance_rescale=0.7)
+    d = cos.shape[-1]
+    out = fn(params, x, sigmas, timesteps, txt, mask, txt2,
+             cos.reshape(tt, th, tw, d), sin.reshape(tt, th, tw, d))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_partial_attn_chunked_matches_block():
     """Sub-chunked K folding == single-block folding (exercised with a
     k_chunk smaller than Sk, as production ring shards would be)."""
