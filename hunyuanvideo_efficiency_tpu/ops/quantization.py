@@ -86,7 +86,11 @@ def quantize_dit_params_int8(params: Dict[str, Any]) -> Dict[str, Any]:
                 if "kernel" in p and p["kernel"].ndim >= 2:
                     rest = {k: v for k, v in p.items()
                             if k not in ("kernel", "scale")}
-                    return {**rest, **quantize_tensor_int8(p["kernel"])}
+                    # an already-fp8 leaf must be dequantized first — the
+                    # raw E4M3 codes are off by the per-tensor fp8 scale
+                    w = (dequantize(p, jnp.float32) if "scale" in p
+                         else p["kernel"])
+                    return {**rest, **quantize_tensor_int8(w)}
                 return {k: conv(v) for k, v in p.items()}
             return p
 
