@@ -31,7 +31,7 @@ def model_flops(n_tokens: int, hidden: int, depth: int = 60) -> float:
 
 
 def build_fp8_params(cfg, dtype, quant="fp8", quant_refiner=False,
-                     int4_modulation=False):
+                     int4_modulation=False, block_chunks=(1, 1)):
     """Flagship param tree with block linears stored fp8 (per-block scales)
     or int8 (per-output-channel scales, W8A8 MXU compute path).
 
@@ -80,15 +80,29 @@ def build_fp8_params(cfg, dtype, quant="fp8", quant_refiner=False,
     def insert(stacked, i, block):
         return jax.tree.map(lambda s, b: s.at[i].set(b), stacked, block)
 
-    def build_stack(one_fn, keys):
+    def build_stack(one_fn, keys, chunks=1):
         """Incremental stacking with buffer donation: peak device memory is
-        the final stacked tree + ONE block (13B bf16 would not fit)."""
+        the final stacked tree + ONE block (13B bf16 would not fit).
+
+        chunks>1 returns a LIST of stacked trees (for dit_forward_staged's
+        pre-chunked param form) built directly at chunk granularity —
+        re-slicing one big stack afterwards would transiently double the
+        block weights in HBM."""
+        from hunyuanvideo_efficiency_tpu.models.dit import _chunk_plan
+
         proto = jax.eval_shape(one_fn, keys[0])
-        stacked = jax.tree.map(
-            lambda s: jnp.zeros((len(keys),) + s.shape, s.dtype), proto)
-        for i, k in enumerate(keys):
-            stacked = insert(stacked, i, one_fn(k))
-        return jax.block_until_ready(stacked)
+
+        def build_range(kk):
+            stacked = jax.tree.map(
+                lambda s: jnp.zeros((len(kk),) + s.shape, s.dtype), proto)
+            for i, k in enumerate(kk):
+                stacked = insert(stacked, i, one_fn(k))
+            return jax.block_until_ready(stacked)
+
+        if chunks == 1:
+            return build_range(keys)
+        plan = _chunk_plan(len(keys), chunks, 0, None)
+        return [build_range(keys[s0:s0 + ln]) for (s0, ln, _) in plan]
 
     dks = jax.random.split(next(ks), cfg.mm_double_blocks_depth)
     sks = jax.random.split(next(ks), cfg.mm_single_blocks_depth)
@@ -108,19 +122,25 @@ def build_fp8_params(cfg, dtype, quant="fp8", quant_refiner=False,
                                 dtype, zero=True),
             "adaLN_modulation": _lin_init(next(ks), h, 2 * h, dtype,
                                           zero=True)},
-        "double_blocks": build_stack(one_double, dks),
-        "single_blocks": build_stack(one_single, sks),
+        "double_blocks": build_stack(one_double, dks, block_chunks[0]),
+        "single_blocks": build_stack(one_single, sks, block_chunks[1]),
     }
     return params
 
 
 def bench_step(height, width, frames, repeats=3, sta=False, int8=False,
-               attn_int8=False):
+               attn_int8=False, staged=None):
+    """staged: None = one monolithic jitted forward; (dc, sc) = host-driven
+    chunked dispatch (dit_forward_staged) so every on-device program stays
+    under the tunneled runtime's ~60 s watchdog — the only way a 720p x 129f
+    step (~70 s monolithic) can execute on this backend. Reported time spans
+    all programs of one step, synced by scalar readback after each."""
     import jax
     import jax.numpy as jnp
     from functools import partial
 
-    from hunyuanvideo_efficiency_tpu.models.dit import dit_forward
+    from hunyuanvideo_efficiency_tpu.models.dit import (dit_forward,
+                                                        dit_forward_staged)
     from hunyuanvideo_efficiency_tpu.models.dit_config import load_dit_config
 
     from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
@@ -134,7 +154,8 @@ def bench_step(height, width, frames, repeats=3, sta=False, int8=False,
     params = build_fp8_params(cfg, jnp.bfloat16,
                               quant="int8" if int8 else "fp8",
                               quant_refiner=big and int8,
-                              int4_modulation=big)
+                              int4_modulation=big,
+                              block_chunks=staged or (1, 1))
 
     t_lat = (frames - 1) // 4 + 1
     h_lat, w_lat = height // 8, width // 8
@@ -156,7 +177,13 @@ def bench_step(height, width, frames, repeats=3, sta=False, int8=False,
     pe2 = jax.random.normal(ks[2], (1, cfg.text_states_dim_2), jnp.bfloat16)
     guidance = jnp.full((1,), 6000.0, jnp.float32)
 
-    fwd = jax.jit(partial(dit_forward, cfg=cfg))
+    if staged:
+        sync = lambda a: jax.device_get(a.ravel()[0])  # noqa: E731
+        fwd = partial(dit_forward_staged, cfg=cfg,
+                      double_chunks=staged[0], single_chunks=staged[1],
+                      sync=sync)
+    else:
+        fwd = jax.jit(partial(dit_forward, cfg=cfg))
     out = fwd(params, x, t, pe, mask, pe2, cos, sin, guidance)  # compile+warm
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
@@ -179,12 +206,14 @@ REF_SEC = 38.1
 REF_TOKENS = 118800 + 256
 
 
-def run_one(height, width, frames, sta=False, int8=False, attn_int8=False):
+def run_one(height, width, frames, sta=False, int8=False, attn_int8=False,
+            staged=None):
     sec, n_tok, hidden = bench_step(height, width, frames, sta=sta, int8=int8,
-                                    attn_int8=attn_int8)
+                                    attn_int8=attn_int8, staged=staged)
     ref_equiv = REF_SEC * (model_flops(n_tok, hidden)
                            / model_flops(REF_TOKENS, hidden))
-    tag = (" sta" if sta else "") + (" qk8" if attn_int8 else "")
+    tag = ((" sta" if sta else "") + (" qk8" if attn_int8 else "")
+           + (" staged" if staged else ""))
     print(json.dumps({
         "metric": f"sec/denoise-step 13B {'int8' if int8 else 'fp8'} "
                   f"{width}x{height}x{frames}f"
@@ -224,12 +253,20 @@ def main():
             "bench: device unreachable (trivial matmul did not complete; "
             "TPU relay down?) — refusing to start 1h bench attempts")
 
-    attempts = [(544, 960, 129), (544, 960, 65), (384, 640, 129)]
-    for (hh, ww, ff) in attempts:
+    # largest-first; int8 W8A8 linears are the default compute path (fastest
+    # measured). The flagship 720p config only runs staged (a monolithic
+    # step exceeds the ~60 s on-device watchdog).
+    attempts = [
+        (720, 1280, 129, ["--int8", "--staged", "4", "6"]),
+        (544, 960, 129, ["--int8"]),
+        (544, 960, 65, ["--int8"]),
+        (384, 640, 129, ["--int8"]),
+    ]
+    for (hh, ww, ff, extra) in attempts:
         try:
             proc = subprocess.run(
                 [sys.executable, __file__,
-                 "--config", str(hh), str(ww), str(ff)],
+                 "--config", str(hh), str(ww), str(ff)] + extra,
                 capture_output=True, text=True, timeout=3600)
         except subprocess.TimeoutExpired:
             print(f"bench config {ww}x{hh}x{ff} timed out after 3600s",
@@ -247,8 +284,12 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--config":
+        staged = None
+        if "--staged" in sys.argv:
+            si = sys.argv.index("--staged")
+            staged = (int(sys.argv[si + 1]), int(sys.argv[si + 2]))
         run_one(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
                 sta="--sta" in sys.argv, int8="--int8" in sys.argv,
-                attn_int8="--attn-int8" in sys.argv)
+                attn_int8="--attn-int8" in sys.argv, staged=staged)
     else:
         main()

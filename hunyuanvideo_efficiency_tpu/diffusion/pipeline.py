@@ -85,6 +85,61 @@ def denoise_step(
     return euler_step(latents, v, sigma, sigma_next)
 
 
+@partial(jax.jit, static_argnames=("cfg", "do_cfg", "embedded_guidance_scale"))
+def _staged_step_prep(latents, t, cfg, do_cfg, embedded_guidance_scale):
+    mult = 2 if do_cfg else 1
+    latent_in = (jnp.concatenate([latents] * mult, axis=0)
+                 if do_cfg else latents)
+    t_expand = jnp.full((latent_in.shape[0],), t, jnp.float32)
+    guidance = None
+    if cfg.guidance_embed:
+        guidance = jnp.full((latent_in.shape[0],),
+                            (embedded_guidance_scale or 0.0) * 1000.0,
+                            jnp.float32)
+    return latent_in, t_expand, guidance
+
+
+@partial(jax.jit, static_argnames=("do_cfg", "guidance_scale",
+                                   "guidance_rescale"))
+def _staged_step_epilogue(latents, v, sigma, sigma_next, do_cfg,
+                          guidance_scale, guidance_rescale):
+    v = v.astype(jnp.float32)
+    if do_cfg:
+        v_uncond, v_text = jnp.split(v, 2, axis=0)
+        v = v_uncond + guidance_scale * (v_text - v_uncond)
+        if guidance_rescale > 0.0:
+            v = rescale_noise_cfg(v, v_text, guidance_rescale)
+    return euler_step(latents, v, sigma, sigma_next)
+
+
+def denoise_step_staged(
+    dit_params, latents, sigma, sigma_next, t,
+    prompt_embeds, prompt_mask, prompt_embeds_2,
+    freqs_cos, freqs_sin, cfg, do_cfg, guidance_scale,
+    embedded_guidance_scale, guidance_rescale,
+    block_chunks=(2, 4), sync=None,
+) -> jnp.ndarray:
+    """denoise_step with the DiT forward cut into host-driven chunked
+    programs (models.dit.dit_forward_staged) for configs whose single-step
+    program exceeds the runtime's ~60 s on-device watchdog (720p x 129f;
+    CLAUDE.md). Numerics identical to denoise_step (tested). `sync` is
+    forwarded to dit_forward_staged to serialize program dispatch."""
+    from ..models.dit import dit_forward_staged
+
+    latent_in, t_expand, guidance = _staged_step_prep(
+        latents, t, cfg=cfg, do_cfg=do_cfg,
+        embedded_guidance_scale=embedded_guidance_scale)
+    v = dit_forward_staged(
+        dit_params, latent_in, t_expand, prompt_embeds, prompt_mask,
+        prompt_embeds_2, freqs_cos, freqs_sin, guidance, cfg=cfg,
+        double_chunks=block_chunks[0], single_chunks=block_chunks[1],
+        sync=sync)
+    return _staged_step_epilogue(
+        latents, v, sigma, sigma_next, do_cfg=do_cfg,
+        guidance_scale=float(guidance_scale),
+        guidance_rescale=float(guidance_rescale))
+
+
 @partial(jax.jit, static_argnames=("cfg", "do_cfg", "guidance_scale",
                                    "embedded_guidance_scale", "guidance_rescale"))
 def denoise_latents(
@@ -240,6 +295,7 @@ class HunyuanVideoPipeline:
         data_type: str = "video",
         n_tokens: Optional[int] = None,
         scan_denoise: bool = True,
+        block_chunks: Optional[Tuple[int, int]] = None,
         progress_callback=None,
     ) -> HunyuanVideoPipelineOutput:
         self.check_inputs(height, width, video_length, vae_ver)
@@ -313,14 +369,28 @@ class HunyuanVideoPipeline:
             # early abort, bounded per-program device time); same compiled
             # step reused across iterations, numerics identical to the scan
             for i in range(int(timesteps.shape[0])):
-                latents = denoise_step(
-                    self.transformer_params, latents, sigmas[i],
-                    sigmas[i + 1], timesteps[i],
-                    pe, mask, pe2, freqs_cis[0], freqs_cis[1],
-                    cfg=cfg, do_cfg=do_cfg,
-                    guidance_scale=float(guidance_scale),
-                    embedded_guidance_scale=egs,
-                    guidance_rescale=float(guidance_rescale))
+                if block_chunks is not None:
+                    # watchdog-bounded configs (720p): cut the step's DiT
+                    # forward itself into chunked programs, each synced
+                    latents = denoise_step_staged(
+                        self.transformer_params, latents, sigmas[i],
+                        sigmas[i + 1], timesteps[i],
+                        pe, mask, pe2, freqs_cis[0], freqs_cis[1],
+                        cfg=cfg, do_cfg=do_cfg,
+                        guidance_scale=float(guidance_scale),
+                        embedded_guidance_scale=egs,
+                        guidance_rescale=float(guidance_rescale),
+                        block_chunks=block_chunks,
+                        sync=lambda a: jax.device_get(a.ravel()[0]))
+                else:
+                    latents = denoise_step(
+                        self.transformer_params, latents, sigmas[i],
+                        sigmas[i + 1], timesteps[i],
+                        pe, mask, pe2, freqs_cis[0], freqs_cis[1],
+                        cfg=cfg, do_cfg=do_cfg,
+                        guidance_scale=float(guidance_scale),
+                        embedded_guidance_scale=egs,
+                        guidance_rescale=float(guidance_rescale))
                 # Serialize: async dispatch lets the runtime overlap
                 # program workspaces (several GB each) and exhaust HBM;
                 # a scalar readback is the reliable sync even on remote

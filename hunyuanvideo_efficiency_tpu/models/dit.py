@@ -161,6 +161,14 @@ def apply_gate(x: jnp.ndarray, gate: jnp.ndarray) -> jnp.ndarray:
     return x * gate[:, None]
 
 
+def _bound_mode(cfg: DiTConfig) -> str:
+    """Static flash softmax-kernel choice: with QK-RMSNorm the score bound
+    C ~ sqrt(d)*|g_q|*|g_k| always holds, so only the static-offset Pallas
+    kernel needs compiling (halves flash compile work — minutes on the
+    remote-compile backend). Without qk_norm keep the traced dispatch."""
+    return "static" if cfg.qk_norm else "auto"
+
+
 def _qk_norm(p_q, p_k, q, k, cfg: DiTConfig, chunk=None):
     """QK norm, optionally token-chunked: the norm's fp32 intermediates at
     full length are 2 x [L, H, D] f32 = 2.7 GB at 720p (118.8k tokens) —
@@ -337,7 +345,7 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
             q, k = apply_rotary_emb(q, k, freqs_cis,
                                     chunk=cfg.mlp_chunk_tokens)
             attn = attention(q, k, v, mode=cfg.attn_mode,
-                             key_bias=key_bias)
+                             key_bias=key_bias, bound_mode=_bound_mode(cfg))
             o, e = g * hg * d, (g + 1) * hg * d
             io = linear(_row_slice(p["img_attn_proj"], o, e,
                                    keep_bias=(g == 0)), attn[:, :img_len])
@@ -353,7 +361,8 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
             img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
             mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
             ring_axis=cfg.ring_axis, token_grid=token_grid,
-            sta_tile=cfg.sta_tile, sta_window=cfg.sta_window)
+            sta_tile=cfg.sta_tile, sta_window=cfg.sta_window,
+            bound_mode=_bound_mode(cfg))
         img_po = linear(p["img_attn_proj"], img_attn)
         txt_po = linear(p["txt_attn_proj"], txt_attn)
 
@@ -446,7 +455,7 @@ def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
             qg, kg = apply_rotary_emb(qg, kg, freqs_cis,
                                       chunk=cfg.mlp_chunk_tokens)
             attn = attention(qg, kg, vg, mode=cfg.attn_mode,
-                             key_bias=key_bias)
+                             key_bias=key_bias, bound_mode=_bound_mode(cfg))
             og = linear(_row_slice(p["linear2"], g * hg * d,
                                    (g + 1) * hg * d, keep_bias=(g == 0)),
                         attn)
@@ -465,7 +474,8 @@ def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
             img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
             mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
             ring_axis=cfg.ring_axis, token_grid=token_grid,
-            sta_tile=cfg.sta_tile, sta_window=cfg.sta_window)
+            sta_tile=cfg.sta_tile, sta_window=cfg.sta_window,
+            bound_mode=_bound_mode(cfg))
         attn = jnp.concatenate([img_attn, txt_attn], axis=1)
         out = linear(_row_slice(p["linear2"], 0, cfg.hidden_size,
                                 keep_bias=True), attn)
@@ -509,19 +519,21 @@ def unpatchify(x: jnp.ndarray, tt: int, th: int, tw: int, c: int,
     return x.reshape(b, c, tt * pt, th * ph, tw * pw)
 
 
-def dit_forward(
+def _forward_preamble(
     params: Params,
-    x: jnp.ndarray,              # [B, C, T', H', W'] latent
-    t: jnp.ndarray,              # [B] in [0, 1000)
-    text_states: jnp.ndarray,    # [B, txt_len, text_states_dim]
-    text_mask: jnp.ndarray,      # [B, txt_len]
-    text_states_2: jnp.ndarray,  # [B, text_states_dim_2]
-    freqs_cos: jnp.ndarray,      # [img_len, head_dim]
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    text_states: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    text_states_2: jnp.ndarray,
+    freqs_cos: jnp.ndarray,
     freqs_sin: jnp.ndarray,
-    guidance: Optional[jnp.ndarray] = None,  # [B], cfg_scale * 1000
-    cfg: DiTConfig = None,
-) -> jnp.ndarray:
-    """Full forward (reference: models.py:595-695). Returns [B, C, T', H', W']."""
+    guidance: Optional[jnp.ndarray],
+    cfg: DiTConfig,
+):
+    """Front half of dit_forward (embedders, patchify, token refiner, text
+    padding, joint RoPE table), shared by the monolithic and the staged
+    dispatch. Returns (img, txt, vec, txt_bias, freqs_cis_sgl)."""
     dtype = params["img_in"]["kernel"].dtype
     x = x.astype(dtype)
     text_states = text_states.astype(dtype)
@@ -595,6 +607,42 @@ def dit_forward(
     else:
         freqs_cis_sgl = freqs_cis
 
+    return img, txt, vec, txt_bias, freqs_cis_sgl
+
+
+def _forward_final(fl: Params, img: jnp.ndarray, vec: jnp.ndarray,
+                   tt: int, th: int, tw: int, cfg: DiTConfig) -> jnp.ndarray:
+    """Final adaLN + zero-init linear + unpatchify (reference:
+    mlp_layers.py:114-118), shared by monolithic and staged dispatch."""
+    sh_sc = linear(fl["adaLN_modulation"], jax.nn.silu(vec))
+    shift, scale = jnp.split(sh_sc, 2, -1)
+    img = modulate(layer_norm(img), shift, scale)
+    img = linear(fl["linear"], img)
+    return unpatchify(img, tt, th, tw, cfg.out_channels, cfg.patch_size)
+
+
+def dit_forward(
+    params: Params,
+    x: jnp.ndarray,              # [B, C, T', H', W'] latent
+    t: jnp.ndarray,              # [B] in [0, 1000)
+    text_states: jnp.ndarray,    # [B, txt_len, text_states_dim]
+    text_mask: jnp.ndarray,      # [B, txt_len]
+    text_states_2: jnp.ndarray,  # [B, text_states_dim_2]
+    freqs_cos: jnp.ndarray,      # [img_len, head_dim]
+    freqs_sin: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,  # [B], cfg_scale * 1000
+    cfg: DiTConfig = None,
+) -> jnp.ndarray:
+    """Full forward (reference: models.py:595-695). Returns [B, C, T', H', W']."""
+    b, c, ot, oh, ow = x.shape
+    pt, ph, pw = cfg.patch_size
+    tt, th, tw = ot // pt, oh // ph, ow // pw
+    img_len = tt * th * tw
+
+    img, txt, vec, txt_bias, freqs_cis_sgl = _forward_preamble(
+        params, x, t, text_states, text_mask, text_states_2,
+        freqs_cos, freqs_sin, guidance, cfg)
+    txt_len = txt.shape[1]
     token_grid = (tt, th, tw)
 
     def make_dbl(block_cfg):
@@ -633,15 +681,194 @@ def dit_forward(
     xx = run_stack(xx, params["single_blocks"], make_sgl,
                    cfg.sta_dense_single_blocks)
     img = xx[:, :img_len]
+    return _forward_final(params["final_layer"], img, vec, tt, th, tw, cfg)
 
-    # final layer (reference: mlp_layers.py:114-118)
-    fl = params["final_layer"]
-    sh_sc = linear(fl["adaLN_modulation"], jax.nn.silu(vec))
-    shift, scale = jnp.split(sh_sc, 2, -1)
-    img = modulate(layer_norm(img), shift, scale)
-    img = linear(fl["linear"], img)
 
-    return unpatchify(img, tt, th, tw, cfg.out_channels, cfg.patch_size)
+# --------------------------------------------------------------------------
+# Staged (host-chunked) dispatch
+# --------------------------------------------------------------------------
+#
+# The tunneled TPU runtime kills any single on-device program running longer
+# than ~60 s (CLAUDE.md); one monolithic 720p denoise-step forward is ~75 s.
+# dit_forward_staged splits the forward into several jitted programs driven
+# from host — a preamble, chunked scans over slices of the stacked block
+# params, and a final program — with identical numerics (test_dit.py) and
+# ~30 ms dispatch overhead per chunk. The reference runs the whole step as
+# one CUDA graph (hyvideo/modules/models.py:595-695); on this runtime the
+# equivalent is a short pipeline of XLA programs.
+
+_PRE_KEYS = ("img_in", "time_in", "vector_in", "guidance_in", "txt_in")
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _staged_pre(pre_params, x, t, text_states, text_mask, text_states_2,
+                freqs_cos, freqs_sin, guidance, cfg):
+    return _forward_preamble(pre_params, x, t, text_states, text_mask,
+                             text_states_2, freqs_cos, freqs_sin,
+                             guidance, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "length", "token_grid"),
+         donate_argnames=("img", "txt"))
+def _staged_double_chunk(stack, start, img, txt, vec, txt_bias,
+                         freqs_cos, freqs_sin, cfg, length, token_grid):
+    """Scan `length` double blocks starting at traced offset `start`.
+
+    `start` is traced (dynamic_slice) so ALL chunks of one length share a
+    single compiled program — a static start would recompile the whole scan
+    per chunk (minutes per compile on the remote-compile backend)."""
+    chunk = jax.tree.map(
+        lambda a: jax.lax.dynamic_slice_in_dim(a, start, length, 0), stack)
+    freqs = (freqs_cos, freqs_sin) if freqs_cos is not None else None
+
+    def dbl(carry, bp):
+        im, tx = carry
+        im, tx = double_block(bp, im, tx, vec, txt_bias, freqs, cfg,
+                              token_grid)
+        return (im, tx), None
+
+    (img, txt), _ = jax.lax.scan(dbl, (img, txt), chunk)
+    return img, txt
+
+
+@partial(jax.jit, static_argnames=("cfg", "length", "token_grid", "txt_len"),
+         donate_argnames=("xx",))
+def _staged_single_chunk(stack, start, xx, vec, txt_bias,
+                         freqs_cos, freqs_sin, cfg, length, token_grid,
+                         txt_len):
+    chunk = jax.tree.map(
+        lambda a: jax.lax.dynamic_slice_in_dim(a, start, length, 0), stack)
+    freqs = (freqs_cos, freqs_sin) if freqs_cos is not None else None
+
+    def sgl(x_c, bp):
+        return single_block(bp, x_c, vec, txt_len, txt_bias, freqs, cfg,
+                            token_grid), None
+
+    xx, _ = jax.lax.scan(sgl, xx, chunk)
+    return xx
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _staged_concat(img, txt):
+    return jnp.concatenate([img, txt], axis=1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "grid", "img_len"))
+def _staged_final(fl, xx, vec, cfg, grid, img_len):
+    tt, th, tw = grid
+    return _forward_final(fl, xx[:, :img_len], vec, tt, th, tw, cfg)
+
+
+def _chunk_plan(depth, n_chunks, n_dense, cfg):
+    """Cut [0, depth) into ~n_chunks (start, length, block_cfg) pieces,
+    respecting the STA dense-head boundary (those blocks run with dense
+    attention — see run_stack in dit_forward)."""
+    if n_dense > 0 and cfg is not None and cfg.attn_mode == "sta":
+        from dataclasses import replace as _replace
+
+        segs = [(0, n_dense, _replace(cfg, attn_mode="auto")),
+                (n_dense, depth - n_dense, cfg)]
+    else:
+        segs = [(0, depth, cfg)]
+    plan = []
+    for s0, slen, bcfg in segs:
+        k = max(1, round(n_chunks * slen / depth)) if depth else 1
+        base, rem = slen // k, slen % k
+        off = s0
+        for i in range(k):
+            ln = base + (1 if i < rem else 0)
+            if ln:
+                plan.append((off, ln, bcfg))
+                off += ln
+    return plan
+
+
+def dit_forward_staged(
+    params: Params,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    text_states: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    text_states_2: jnp.ndarray,
+    freqs_cos: jnp.ndarray,
+    freqs_sin: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,
+    cfg: DiTConfig = None,
+    double_chunks: int = 2,
+    single_chunks: int = 4,
+    sync=None,
+) -> jnp.ndarray:
+    """dit_forward as `double_chunks + single_chunks + 3` separate on-device
+    programs, numerics identical (see module comment above).
+
+    params["double_blocks"] / ["single_blocks"] may be the usual stacked
+    trees or pre-chunked LISTS of stacked trees (equal-shape list entries
+    reuse one compiled program and skip the in-program slice copy; list
+    form assumes a uniform attn config — no STA dense-head split).
+
+    Inference-only: the chunk programs donate their carries, which breaks
+    reverse-mode autodiff. `sync`, if given, is called with each program's
+    first output after dispatch (e.g. a scalar readback) to serialize
+    programs on runtimes where async dispatch overlaps program workspaces
+    in HBM.
+    """
+    b, c, ot, oh, ow = x.shape
+    pt, ph, pw = cfg.patch_size
+    tt, th, tw = ot // pt, oh // ph, ow // pw
+    img_len = tt * th * tw
+    grid = (tt, th, tw)
+
+    def _sync(a):
+        if sync is not None:
+            sync(a)
+
+    pre = {k: params[k] for k in _PRE_KEYS if k in params}
+    img, txt, vec, txt_bias, freqs_sgl = _staged_pre(
+        pre, x, t, text_states, text_mask, text_states_2,
+        freqs_cos, freqs_sin, guidance, cfg=cfg)
+    _sync(img)
+    txt_len = txt.shape[1]
+    fc, fs = freqs_sgl if freqs_sgl is not None else (None, None)
+
+    def plan_for(stack, n_chunks, n_dense):
+        if isinstance(stack, (list, tuple)):
+            return [(s, 0, jax.tree.leaves(s)[0].shape[0], cfg)
+                    for s in stack]
+        return [(stack, s0, ln, bcfg)
+                for (s0, ln, bcfg) in _chunk_plan(
+                    jax.tree.leaves(stack)[0].shape[0], n_chunks,
+                    n_dense, cfg)]
+
+    for stk, s0, ln, bcfg in plan_for(params["double_blocks"], double_chunks,
+                                      cfg.sta_dense_double_blocks):
+        img, txt = _staged_double_chunk(
+            stk, jnp.int32(s0), img, txt, vec, txt_bias, fc, fs,
+            cfg=bcfg, length=ln, token_grid=grid)
+        _sync(img)
+
+    xx = _staged_concat(img, txt)
+    for stk, s0, ln, bcfg in plan_for(params["single_blocks"], single_chunks,
+                                      cfg.sta_dense_single_blocks):
+        xx = _staged_single_chunk(
+            stk, jnp.int32(s0), xx, vec, txt_bias, fc, fs,
+            cfg=bcfg, length=ln, token_grid=grid, txt_len=txt_len)
+        _sync(xx)
+
+    out = _staged_final(params["final_layer"], xx, vec, cfg=cfg, grid=grid,
+                        img_len=img_len)
+    _sync(out)
+    return out
+
+
+def rechunk_stacked(stack: Params, n_chunks: int) -> list:
+    """Split a stacked block tree into a list of n_chunks stacked trees
+    (host-side, one device slice per chunk). Pre-chunking params for
+    dit_forward_staged avoids the per-dispatch in-program slice copy —
+    worth it when HBM headroom is thin (720p)."""
+    depth = jax.tree.leaves(stack)[0].shape[0]
+    plan = _chunk_plan(depth, n_chunks, 0, None)
+    return [jax.tree.map(lambda a: a[s0:s0 + ln], stack)
+            for (s0, ln, _) in plan]
 
 
 # --------------------------------------------------------------------------

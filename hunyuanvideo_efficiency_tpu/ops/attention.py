@@ -194,6 +194,7 @@ def joint_attention(
     token_grid=None,
     sta_tile=(4, 8, 8),
     sta_window=(3, 3, 3),
+    bound_mode: str = "auto",
 ):
     """Joint attention over [img | txt] tokens; returns (img_out, txt_out)
     each [B, S, H*D].
@@ -226,7 +227,7 @@ def joint_attention(
         return usp_joint_attention(
             img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
             ulysses_axis=ulysses_axis, ring_axis=ring_axis, scale=scale,
-            attn_mode=mode)
+            attn_mode=mode, bound_mode=bound_mode)
     img_len = img_q.shape[1]
     q = jnp.concatenate([img_q, txt_q], axis=1)
     k = jnp.concatenate([img_k, txt_k], axis=1)
@@ -238,7 +239,8 @@ def joint_attention(
              txt_bias.astype(jnp.float32)], axis=-1)
     else:
         key_bias = None
-    out = attention(q, k, v, mode=mode, key_bias=key_bias, scale=scale)
+    out = attention(q, k, v, mode=mode, key_bias=key_bias, scale=scale,
+                    bound_mode=bound_mode)
     return out[:, :img_len], out[:, img_len:]
 
 
@@ -250,9 +252,14 @@ def attention(
     bias: Optional[jnp.ndarray] = None,
     key_bias: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    bound_mode: str = "auto",
 ) -> jnp.ndarray:
     """Dispatch: 'sdpa' (full-matrix), 'chunked' (online softmax), 'flash'
-    (Pallas TPU kernel), or 'auto' (pick by sequence length / backend)."""
+    (Pallas TPU kernel), or 'auto' (pick by sequence length / backend).
+
+    bound_mode: static softmax-kernel choice for the flash path (see
+    ops/flash_attention.flash_attention) — "static" halves Pallas compile
+    work when QK-norm bounds the scores."""
     if mode == "auto":
         on_tpu = jax.default_backend() == "tpu"
         if q.shape[1] >= 4096 and on_tpu:
@@ -272,7 +279,9 @@ def attention(
         # (ops/flash_backward.py) so training works through the same path
         from .flash_backward import flash_attention_vjp
 
-        return flash_attention_vjp(q, k, v, key_bias, scale)
+        # custom_vjp functions take positional args only
+        return flash_attention_vjp(q, k, v, key_bias, scale, 1024, 2048,
+                                   bound_mode)
     if mode == "flash_int8":
         # int8-QK SageAttention-style kernel (inference only: no VJP)
         from .flash_attention import flash_attention_int8

@@ -269,6 +269,7 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = 1024,
     block_k: int = 2048,
+    bound_mode: str = "auto",
 ) -> jnp.ndarray:
     """Flash attention; q/k/v [B, S, H, D] -> [B, Sq, H*D].
 
@@ -286,6 +287,14 @@ def flash_attention(
     * running-max (`_flash_kernel`): the classic recurrence, for un-normed
       inputs. The choice is a traced lax.cond on C (norms cost one fused
       elementwise pass).
+
+    bound_mode picks the dispatch STATICALLY, avoiding compiling both
+    Pallas kernels per shape (first compiles cost minutes on remote-compile
+    backends): "static" = always the static-offset kernel (safe whenever
+    QK-RMSNorm holds C ~ sqrt(d)*|g_q|*|g_k| well under 40 — the offset C
+    is a Cauchy-Schwarz upper bound at ANY magnitude; only C > ~43 risks
+    exp underflow), "running" = always the running-max kernel, "auto" =
+    the traced lax.cond (both kernels compiled).
     """
     b, sq, hh, d = q.shape
     sk = k.shape[1]
@@ -319,13 +328,20 @@ def flash_attention(
     kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
     c = jnp.max(qn, axis=1) * jnp.max(kn, axis=1) * scale  # [B, H]
 
-    out = jax.lax.cond(
-        jnp.max(c) < 40.0,
-        lambda: _flash_nomax_packed(qp, kp, vp, kb, c, hh, float(scale),
-                                    block_q, block_k, interpret),
-        lambda: _flash_packed(qp, kp, vp, kb, hh, float(scale), block_q,
-                              block_k, interpret),
-    )
+    if bound_mode == "static":
+        out = _flash_nomax_packed(qp, kp, vp, kb, c, hh, float(scale),
+                                  block_q, block_k, interpret)
+    elif bound_mode == "running":
+        out = _flash_packed(qp, kp, vp, kb, hh, float(scale), block_q,
+                            block_k, interpret)
+    else:
+        out = jax.lax.cond(
+            jnp.max(c) < 40.0,
+            lambda: _flash_nomax_packed(qp, kp, vp, kb, c, hh, float(scale),
+                                        block_q, block_k, interpret),
+            lambda: _flash_packed(qp, kp, vp, kb, hh, float(scale), block_q,
+                                  block_k, interpret),
+        )
     return out[:, :sq]
 
 

@@ -282,21 +282,26 @@ def _prep(q, k, v, key_bias, block_q, block_k):
     return qp, kp, vp, kb, block_q, block_k, sq_p, sk_p
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def flash_attention_vjp(q, k, v, key_bias, scale=None, block_q=1024,
-                        block_k=2048):
+                        block_k=2048, bound_mode="auto"):
     """Differentiable flash attention; q/k/v [B, S, H, D] -> [B, Sq, H*D].
 
     The primal (inference) path runs the LSE-free kernel — writing the
     [B, H*8, Sq] LSE costs ~7% at 67k tokens; `jax.custom_vjp` only invokes
     `_fwd_rule` (which saves LSE) under differentiation, so training pays
-    for the residual and inference does not. Identical forward numerics."""
+    for the residual and inference does not. Identical forward numerics.
+
+    bound_mode: static kernel choice for the primal (see
+    flash_attention); the LSE-saving training forward always uses the
+    running-max kernel and is unaffected."""
     from .flash_attention import flash_attention
 
-    return flash_attention(q, k, v, key_bias, scale, block_q, block_k)
+    return flash_attention(q, k, v, key_bias, scale, block_q, block_k,
+                           bound_mode)
 
 
-def _fwd_rule(q, k, v, key_bias, scale, block_q, block_k):
+def _fwd_rule(q, k, v, key_bias, scale, block_q, block_k, bound_mode):
     b, sq, hh, d = q.shape
     sc = scale if scale is not None else d ** -0.5
     interpret = jax.default_backend() != "tpu"
@@ -309,7 +314,7 @@ def _fwd_rule(q, k, v, key_bias, scale, block_q, block_k):
     return out, res
 
 
-def _bwd_rule(scale, block_q, block_k, res, g):
+def _bwd_rule(scale, block_q, block_k, bound_mode, res, g):
     q, k, v, key_bias, out, lse = res
     b, sq, hh, d = q.shape
     sk = k.shape[1]

@@ -99,6 +99,12 @@ def make_sp_train_step_optax(mesh: Mesh, cfg: DiTConfig,
     Sharding matches make_sp_train_step: params/opt_state/ema replicated,
     batch on dp, latent-H on ulysses x ring; grads pmean'd over the mesh so
     the update is identical everywhere.
+
+    Mixed precision: when compute params are not fp32 (bf16 is the norm),
+    the state carries an fp32 MASTER copy and the optimizer runs on it —
+    with lr ~1e-5 a bf16 update rounds to zero (bf16 relative epsilon is
+    2^-8), so updating bf16 params in place silently stalls training. Each
+    step updates the master in fp32 and re-rounds to the compute dtype.
     """
     from dataclasses import replace
 
@@ -106,8 +112,15 @@ def make_sp_train_step_optax(mesh: Mesh, cfg: DiTConfig,
     axes = (DP_AXIS, ULYSSES_AXIS, RING_AXIS)
 
     def init_fn(params):
+        needs_master = any(
+            jnp.asarray(p).dtype != jnp.float32
+            for p in jax.tree.leaves(params))
+        master = (jax.tree.map(lambda p: p.astype(jnp.float32), params)
+                  if needs_master else None)
         return {
-            "opt_state": optimizer.init(params),
+            "opt_state": optimizer.init(master if master is not None
+                                        else params),
+            "master": master,
             "ema": (jax.tree.map(lambda p: p.astype(jnp.float32), params)
                     if ema_decay is not None else None),
             "step": jnp.zeros((), jnp.int32),
@@ -125,19 +138,23 @@ def make_sp_train_step_optax(mesh: Mesh, cfg: DiTConfig,
             cfg_l)
         grads = lax.pmean(grads, axes)
         loss = lax.pmean(loss, axes)
+        master = state["master"] if state["master"] is not None else params
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         updates, opt_state = optimizer.update(grads, state["opt_state"],
-                                              params)
-        new_params = optax.apply_updates(params, updates)
-        new_params = jax.tree.map(lambda n, p: n.astype(p.dtype),
-                                  new_params, params)
+                                              master)
+        new_master = optax.apply_updates(master, updates)
+        new_params = jax.tree.map(lambda m, p: m.astype(p.dtype),
+                                  new_master, params)
         ema = state["ema"]
         if ema is not None:
             ema = jax.tree.map(
-                lambda e, p: ema_decay * e
-                + (1.0 - ema_decay) * p.astype(jnp.float32),
-                ema, new_params)
-        return new_params, {"opt_state": opt_state, "ema": ema,
-                            "step": state["step"] + 1}, loss
+                lambda e, m: ema_decay * e
+                + (1.0 - ema_decay) * m.astype(jnp.float32),
+                ema, new_master)
+        return new_params, {
+            "opt_state": opt_state,
+            "master": (new_master if state["master"] is not None else None),
+            "ema": ema, "step": state["step"] + 1}, loss
 
     x_spec = P(DP_AXIS, None, None, SP_AXES, None)
     rep = P()

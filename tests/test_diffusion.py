@@ -175,6 +175,11 @@ def test_stepwise_denoise_matches_scan(pipeline):
     assert steps == [0, 1, 2, 3]
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
+    # staged block-chunked dispatch (watchdog-bounded 720p path): the DiT
+    # forward itself cut into chunked programs — numerics still identical
+    c = pipeline(**kwargs, scan_denoise=False, block_chunks=(2, 2)).videos
+    np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-5)
+
 
 def test_offload_transformer_roundtrip():
     """offload_transformer parks DiT weights on host during decode and

@@ -228,3 +228,69 @@ def test_attn_head_chunks_exact():
                       cfg=replace(cfg, attn_head_chunks=2))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+class TestStagedDispatch:
+    """dit_forward_staged (host-chunked programs for the ~60 s on-device
+    watchdog) must match the monolithic dit_forward bit-for-bit in fp32."""
+
+    def _run(self, dit_params, inputs, **kw):
+        from hunyuanvideo_efficiency_tpu.models.dit import dit_forward_staged
+
+        x, t, txt, mask, txt2, cos, sin, guidance = inputs
+        return dit_forward_staged(dit_params, x, t, txt, mask, txt2,
+                                  cos, sin, guidance, cfg=TINY, **kw)
+
+    def test_matches_monolithic(self, dit_params, inputs):
+        x, t, txt, mask, txt2, cos, sin, guidance = inputs
+        ref = FWD(dit_params, x, t, txt, mask, txt2, cos, sin, guidance,
+                  cfg=TINY)
+        # donation consumes carries; params are not donated, reuse is fine
+        out = self._run(dit_params, inputs, double_chunks=2, single_chunks=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_uneven_chunks(self, dit_params, inputs):
+        x, t, txt, mask, txt2, cos, sin, guidance = inputs
+        ref = FWD(dit_params, x, t, txt, mask, txt2, cos, sin, guidance,
+                  cfg=TINY)
+        # 2 blocks into 3 requested chunks -> plan must cover exactly
+        out = self._run(dit_params, inputs, double_chunks=3, single_chunks=1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_prechunked_list_params(self, dit_params, inputs):
+        from hunyuanvideo_efficiency_tpu.models.dit import rechunk_stacked
+
+        x, t, txt, mask, txt2, cos, sin, guidance = inputs
+        ref = FWD(dit_params, x, t, txt, mask, txt2, cos, sin, guidance,
+                  cfg=TINY)
+        chunked = dict(dit_params)
+        chunked["double_blocks"] = rechunk_stacked(
+            dit_params["double_blocks"], 2)
+        chunked["single_blocks"] = rechunk_stacked(
+            dit_params["single_blocks"], 2)
+        out = self._run(chunked, inputs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_chunk_plan_covers_depth(self):
+        from hunyuanvideo_efficiency_tpu.models.dit import _chunk_plan
+
+        for depth, k in [(20, 4), (40, 4), (2, 3), (7, 3), (1, 1), (60, 7)]:
+            plan = _chunk_plan(depth, k, 0, None)
+            spans = [(s, s + ln) for (s, ln, _) in plan]
+            assert spans[0][0] == 0 and spans[-1][1] == depth
+            assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+    def test_chunk_plan_sta_dense_boundary(self):
+        from hunyuanvideo_efficiency_tpu.models.dit import _chunk_plan
+
+        cfg = DiTConfig(hidden_size=64, heads_num=4, rope_dim_list=(4, 6, 6),
+                        attn_mode="sta")
+        plan = _chunk_plan(20, 4, 3, cfg)
+        # first segment = dense blocks with attn_mode swapped off sta
+        assert plan[0][0] == 0 and plan[0][1] == 3
+        assert plan[0][2].attn_mode != "sta"
+        assert all(p[2].attn_mode == "sta" for p in plan[1:])
+        assert sum(p[1] for p in plan) == 20

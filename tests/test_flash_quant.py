@@ -290,3 +290,47 @@ class TestFlashStaticOffset:
         ref = sdpa_attention(q, k, v, bias=bias)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-3, atol=2e-3)
+
+    def test_bound_mode_static_matches_auto(self):
+        # bound_mode="static" compiles ONLY the static-offset kernel; its
+        # numerics must equal the traced-dispatch default on normed-scale
+        # inputs (the case DiTConfig.qk_norm guarantees)
+        key = jax.random.PRNGKey(5)
+        q, k, v = [jax.random.normal(kk, (2, 300, 4, 128))
+                   for kk in jax.random.split(key, 3)]
+        mask = jnp.ones((2, 44), jnp.int32).at[:, 30:].set(0)
+        bias = padding_key_bias(mask, 300 - 44)
+        auto = flash_attention(q, k, v, key_bias=bias,
+                               block_q=128, block_k=128, bound_mode="auto")
+        static = flash_attention(q, k, v, key_bias=bias,
+                                 block_q=128, block_k=128,
+                                 bound_mode="static")
+        running = flash_attention(q, k, v, key_bias=bias,
+                                  block_q=128, block_k=128,
+                                  bound_mode="running")
+        np.testing.assert_allclose(np.asarray(static), np.asarray(auto),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(running), np.asarray(auto),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_bound_mode_through_vjp_wrapper(self):
+        # the custom_vjp wrapper threads bound_mode as a nondiff arg; the
+        # primal must match and grads must still flow (training forward
+        # always uses the LSE-saving running-max kernel regardless)
+        from hunyuanvideo_efficiency_tpu.ops.flash_backward import (
+            flash_attention_vjp)
+
+        key = jax.random.PRNGKey(6)
+        q, k, v = [jax.random.normal(kk, (1, 256, 2, 128))
+                   for kk in jax.random.split(key, 3)]
+        out = flash_attention_vjp(q, k, v, None, None, 128, 128, "static")
+        ref = sdpa_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+        def loss(q):
+            return jnp.sum(
+                flash_attention_vjp(q, k, v, None, None, 128, 128, "static"))
+
+        g = jax.grad(loss)(q)
+        assert np.isfinite(np.asarray(g)).all()

@@ -141,3 +141,62 @@ def test_single_device_mesh_matches_multi():
             losses.append(float(loss))
         results.append(losses)
     np.testing.assert_allclose(results[0], results[1], rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_params_train_via_fp32_master():
+    """bf16 compute params + tiny lr: per-step updates are below bf16's
+    relative epsilon (2^-8), so updating bf16 params in place would round
+    most updates to zero and stall. The optax step keeps an fp32 master
+    copy, steps it, and re-rounds — the master must accumulate sub-bf16
+    drift while params track its rounding (reference mixed-precision
+    training, hyvideo training stack)."""
+    import optax
+
+    from hunyuanvideo_efficiency_tpu.training import make_sp_train_step_optax
+
+    pcfg = ParallelConfig(dp_degree=1, ulysses_degree=2, ring_degree=1)
+    mesh = make_mesh(pcfg)
+    optimizer = optax.adamw(1e-5)
+    step, init_fn = make_sp_train_step_optax(mesh, TINY, pcfg, optimizer,
+                                             ema_decay=0.99)
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16),
+                          init_dit_params(jax.random.PRNGKey(1), TINY))
+    state = init_fn(params)
+    assert state["master"] is not None
+    assert all(m.dtype == jnp.float32
+               for m in jax.tree.leaves(state["master"]))
+
+    x0, noise, pe, mask, pe2, cos_g, sin_g = _data(b=2)
+    t = jnp.full((2,), 0.5, jnp.float32)
+    m0 = jax.tree.map(lambda m: np.asarray(m), state["master"])
+    for _ in range(4):
+        params, state, loss = step(params, state, x0, noise, t,
+                                   pe, mask, pe2, cos_g, sin_g)
+    assert np.isfinite(float(loss))
+
+    # most master leaves moved. Not all: adaLN-Zero init means grads
+    # cascade inward one zero-init layer per step (final_layer first,
+    # then img stream, then txt/refiner/time embeds), so deep leaves
+    # legitimately see exactly-zero grads for the first few steps.
+    moved = [float(np.max(np.abs(np.asarray(m1) - a0)))
+             for m1, a0 in zip(jax.tree.leaves(state["master"]),
+                               jax.tree.leaves(m0))]
+    assert sum(mv > 0 for mv in moved) >= 0.5 * len(moved), \
+        f"{sum(mv > 0 for mv in moved)}/{len(moved)} leaves moved"
+    # ... and the master holds sub-bf16 precision that params cannot:
+    # at least one leaf's master differs from its own bf16 rounding
+    frac = [float(np.max(np.abs(
+        np.asarray(m) - np.asarray(m.astype(jnp.bfloat16), np.float32))))
+        for m in jax.tree.leaves(state["master"])]
+    assert max(frac) > 0.0
+    # params are exactly the bf16 rounding of the master
+    for p, m in zip(jax.tree.leaves(params),
+                    jax.tree.leaves(state["master"])):
+        assert p.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(p, np.float32),
+                                      np.asarray(m.astype(jnp.bfloat16),
+                                                 np.float32))
+
+    # fp32 params take the master-free fast path
+    params32 = init_dit_params(jax.random.PRNGKey(1), TINY)
+    assert init_fn(params32)["master"] is None

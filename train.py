@@ -220,6 +220,14 @@ def main(argv=None):
 
         params = restore("module")
         state["opt_state"] = restore("opt_state", target=state["opt_state"])
+        if state["master"] is not None:
+            master_path = os.path.join(args.resume, "master")
+            if os.path.exists(master_path):
+                state["master"] = restore("master")
+            else:  # old checkpoint without a master copy: rebuild from module
+                state["master"] = jax.device_put(
+                    jax.tree.map(lambda p: p.astype(jnp.float32), params),
+                    rep)
         ema_path = os.path.join(args.resume, "ema")
         if state["ema"] is not None and os.path.exists(ema_path):
             state["ema"] = restore("ema")
@@ -233,6 +241,8 @@ def main(argv=None):
         ck = os.path.join(args.output_dir, f"step_{step_i:07d}")
         save_params_orbax(os.path.join(ck, "module"), params)
         save_params_orbax(os.path.join(ck, "opt_state"), state["opt_state"])
+        if state["master"] is not None:
+            save_params_orbax(os.path.join(ck, "master"), state["master"])
         if state["ema"] is not None:
             save_params_orbax(os.path.join(ck, "ema"), state["ema"])
         with open(os.path.join(ck, "meta.json"), "w") as f:
