@@ -172,7 +172,7 @@ def convert_clip_state_dict(sd: Dict[str, np.ndarray], cfg: CLIPTextConfig
             "layer_norm2": ln(f"{b}.layer_norm2"),
             "mlp": {"fc1": lin(f"{b}.mlp.fc1"), "fc2": lin(f"{b}.mlp.fc2")},
         })
-    return {
+    params = {
         "token_embedding": {
             "embedding": sd.pop("embeddings.token_embedding.weight")},
         "position_embedding": {
@@ -180,3 +180,9 @@ def convert_clip_state_dict(sd: Dict[str, np.ndarray], cfg: CLIPTextConfig
         "layers": jax.tree.map(lambda *xs: np.stack(xs), *layers),
         "final_layer_norm": ln("final_layer_norm"),
     }
+    # legacy transformers checkpoints carry a position_ids buffer; anything
+    # else left over is a real weight we failed to convert.
+    leftover = [k for k in sd if not k.endswith("position_ids")]
+    if leftover:
+        raise ValueError(f"Unconverted CLIP keys: {sorted(leftover)[:20]}")
+    return params

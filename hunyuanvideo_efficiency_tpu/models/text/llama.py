@@ -248,8 +248,15 @@ def convert_llama_state_dict(sd: Dict[str, np.ndarray], cfg: LlamaConfig
                     "up_proj": lin(f"{b}.mlp.up_proj"),
                     "down_proj": lin(f"{b}.mlp.down_proj")},
         })
-    return {
+    params = {
         "embed_tokens": {"embedding": sd.pop("embed_tokens.weight")},
         "layers": jax.tree.map(lambda *xs: np.stack(xs), *layers),
         "norm": {"scale": sd.pop("norm.weight")},
     }
+    # lm_head (tied or not) and rotary inv_freq buffers are not part of the
+    # encoding tower; anything else left over is an unconverted weight.
+    leftover = [k for k in sd
+                if not (k.endswith("inv_freq") or k.startswith("lm_head."))]
+    if leftover:
+        raise ValueError(f"Unconverted Llama keys: {sorted(leftover)[:20]}")
+    return params
