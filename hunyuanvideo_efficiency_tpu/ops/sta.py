@@ -116,39 +116,65 @@ def _unpermute_tokens(y, grid, plan):
 # kernel
 # --------------------------------------------------------------------------
 
-def _sta_kernel(nbr_ref, dma_ref, kb_ref, q_ref, k_ref, v_ref, o_ref,
-                m_scr, l_scr, acc_scr, *, scale: float, n_slots: int):
-    j = pl.program_id(3)
-    qi = pl.program_id(2)
+def _sta_kernel(nbr_ref, dma_ref, *refs, scale: float, n_groups: int,
+                slot_block: int, head_block: int, d: int):
+    """One (batch, head-group, q-tile, slot-group) grid step.
 
-    @pl.when(j == 0)
+    Folds `slot_block` key tiles x `head_block` heads per step. A one-tile/
+    one-head step (the v1 kernel) does only ~0.2 us of MXU work, so the
+    per-grid-step fixed cost dominated and STA ran barely faster than dense
+    flash (~242k steps at 544p); grouping raises per-step work to ~5 us and
+    cuts the grid 32x. Per-head softmax stats live one LANE per head in the
+    m/l scratch tiles."""
+    kb_refs = refs[:slot_block]
+    q_ref = refs[slot_block]
+    k_refs = refs[slot_block + 1:2 * slot_block + 1]
+    v_refs = refs[2 * slot_block + 1:3 * slot_block + 1]
+    o_ref = refs[3 * slot_block + 1]
+    m_scr, l_scr, acc_scr = refs[3 * slot_block + 2:]
+
+    qi = pl.program_id(2)
+    g = pl.program_id(3)
+
+    @pl.when(g == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(nbr_ref[qi, j] >= 0)
-    def _fold():
-        # dots keep the model dtype (bf16 -> single-pass MXU, fp32 accum)
-        s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = s + kb_ref[0, 0:1, :]
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        s_max = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, s_max)
-        p = jnp.exp(s - m_new[:, :1])
-        corr = jnp.exp(m_prev - m_new)
-        pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        m_scr[...] = m_new
-        l_scr[...] = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[...] = acc_scr[...] * corr[:, :1] + pv
+    for i in range(slot_block):
+        @pl.when(nbr_ref[qi, g * slot_block + i] >= 0)
+        def _fold(i=i):
+            kb = kb_refs[i][0, 0:1, :]
+            for h in range(head_block):
+                cs = slice(h * d, (h + 1) * d)
+                # dots keep the model dtype (bf16 -> single-pass MXU,
+                # fp32 accumulate)
+                s = jax.lax.dot_general(
+                    q_ref[0][:, cs], k_refs[i][0][:, cs],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = s + kb
+                m_prev = m_scr[:, h:h + 1]
+                l_prev = l_scr[:, h:h + 1]
+                m_new = jnp.maximum(m_prev, jnp.max(s, -1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                corr = jnp.exp(m_prev - m_new)
+                pv = jax.lax.dot_general(
+                    p.astype(v_refs[i].dtype), v_refs[i][0][:, cs],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                m_scr[:, h:h + 1] = m_new
+                l_scr[:, h:h + 1] = (l_prev * corr
+                                     + jnp.sum(p, -1, keepdims=True))
+                acc_scr[:, cs] = acc_scr[:, cs] * corr + pv
 
-    @pl.when(j == n_slots - 1)
+    @pl.when(g == n_groups - 1)
     def _finish():
-        denom = jnp.maximum(l_scr[...][:, :1], 1e-37)
+        denom = jnp.concatenate(
+            [jnp.broadcast_to(jnp.maximum(l_scr[:, h:h + 1], 1e-37),
+                              (l_scr.shape[0], d))
+             for h in range(head_block)], axis=1)
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
@@ -163,43 +189,62 @@ def _sta_call(nbr, kb, q, kcat, vcat, heads, scale, block, n_slots,
     b, sq, hd = q.shape
     d = hd // heads
     n_tiles = sq // block
-    grid = (b, heads, n_tiles, n_slots)
+
+    # head grouping: whole-number of head-groups (24 = 3 x 8 for the 13B)
+    head_block = next(hb for hb in (8, 6, 4, 3, 2, 1) if heads % hb == 0)
+    slot_block = 4
+    n_groups = _ceil(n_slots, slot_block)
+    if n_slots % slot_block:
+        pad = n_groups * slot_block - n_slots
+        nbr = jnp.pad(nbr, ((0, 0), (0, pad)), constant_values=-1)
+    grid = (b, heads // head_block, n_tiles, n_groups)
 
     # clamp -1 to 0 for the DMA index map; the kernel skips those slots
     nbr_dma = jnp.maximum(nbr, 0)
 
+    hb_d = head_block * d
+
+    def kb_spec(i):
+        return pl.BlockSpec(
+            (1, 8, block),
+            lambda bi, hi, qi, g, nbr_s, dma_s, i=i:
+                (bi, 0, dma_s[qi, g * slot_block + i]))
+
+    def kv_spec(i):
+        return pl.BlockSpec(
+            (1, block, hb_d),
+            lambda bi, hi, qi, g, nbr_s, dma_s, i=i:
+                (bi, dma_s[qi, g * slot_block + i], hi))
+
+    q_spec = pl.BlockSpec((1, block, hb_d),
+                          lambda bi, hi, qi, g, nbr_s, dma_s: (bi, qi, hi))
+
     out = pl.pallas_call(
-        functools.partial(_sta_kernel, scale=scale, n_slots=n_slots),
+        functools.partial(_sta_kernel, scale=scale, n_groups=n_groups,
+                          slot_block=slot_block, head_block=head_block, d=d),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # nbr (for kernel), nbr_dma (for maps)
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 8, block),
-                    lambda bi, hi, qi, j, nbr_s, dma_s: (bi, 0, dma_s[qi, j])),
-                pl.BlockSpec(
-                    (1, block, d),
-                    lambda bi, hi, qi, j, nbr_s, dma_s: (bi, qi, hi)),
-                pl.BlockSpec(
-                    (1, block, d),
-                    lambda bi, hi, qi, j, nbr_s, dma_s: (bi, dma_s[qi, j], hi)),
-                pl.BlockSpec(
-                    (1, block, d),
-                    lambda bi, hi, qi, j, nbr_s, dma_s: (bi, dma_s[qi, j], hi)),
-            ],
+            in_specs=(
+                [kb_spec(i) for i in range(slot_block)]
+                + [q_spec]
+                + [kv_spec(i) for i in range(slot_block)]
+                + [kv_spec(i) for i in range(slot_block)]
+            ),
             out_specs=pl.BlockSpec(
-                (1, block, d),
-                lambda bi, hi, qi, j, nbr_s, dma_s: (bi, qi, hi)),
+                (1, block, hb_d),
+                lambda bi, hi, qi, g, nbr_s, dma_s: (bi, qi, hi)),
             scratch_shapes=[pltpu.VMEM((block, 128), jnp.float32),
                             pltpu.VMEM((block, 128), jnp.float32),
-                            pltpu.VMEM((block, d), jnp.float32)],
+                            pltpu.VMEM((block, hb_d), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
-    )(nbr, nbr_dma, kb, q, kcat, vcat)
+    )(nbr, nbr_dma, *([kb] * slot_block), q,
+      *([kcat] * slot_block), *([vcat] * slot_block))
     return out
 
 
@@ -266,15 +311,19 @@ def sta_joint_attention(
                           n_slots, interpret)
     img_out = _unpermute_tokens(img_out_p, grid, plan)
 
-    # text queries: dense attention over [img | txt] (row-major keys)
+    # Text queries: FULL attention over [img | txt] (row-major keys), via
+    # the chunked online-softmax path — a dense sdpa here materializes
+    # fp32 scores [B, H, Lt, S_img+Lt] (~1.6 GB at 544p), which pushed the
+    # 13B int8 step past the 15.75 GB HBM limit; chunked keeps the live
+    # set at O(Lt * k_chunk) with the txt query count tiny.
     full_kb = jnp.concatenate(
         [jnp.zeros((b, 1, 1, s_img), jnp.float32),
          txt_bias.astype(jnp.float32) if txt_bias is not None
          else jnp.zeros((b, 1, 1, lt), jnp.float32)], axis=-1)
     k_all = jnp.concatenate([img_k, txt_k], axis=1)
     v_all = jnp.concatenate([img_v, txt_v], axis=1)
-    txt_out = attention(txt_q, k_all, v_all, mode="sdpa", key_bias=full_kb,
-                        scale=scale)
+    txt_out = attention(txt_q, k_all, v_all, mode="chunked",
+                        key_bias=full_kb, scale=scale)
     return img_out, txt_out
 
 
