@@ -129,7 +129,7 @@ def build_fp8_params(cfg, dtype, quant="fp8", quant_refiner=False,
 
 
 def bench_step(height, width, frames, repeats=3, sta=False, int8=False,
-               attn_int8=False, staged=None):
+               attn_int8=False, staged=None, sta_int8=False):
     """staged: None = one monolithic jitted forward; (dc, sc) = host-driven
     chunked dispatch (dit_forward_staged) so every on-device program stays
     under the tunneled runtime's ~60 s watchdog — the only way a 720p x 129f
@@ -145,7 +145,8 @@ def bench_step(height, width, frames, repeats=3, sta=False, int8=False,
 
     from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
 
-    attn = "sta" if sta else ("flash_int8" if attn_int8 else "flash")
+    attn = ("sta_int8" if sta_int8 else "sta" if sta
+            else "flash_int8" if attn_int8 else "flash")
     big = height * width >= 720 * 1280
     cfg = load_dit_config("HYVideo-T/2-cfgdistill", attn_mode=attn,
                           mlp_chunk_tokens=4096 if big else 8192,
@@ -166,7 +167,7 @@ def bench_step(height, width, frames, repeats=3, sta=False, int8=False,
 
     cos, sin = get_nd_rotary_pos_embed(
         cfg.rope_dim_list, (tt, th, tw), theta=cfg.rope_theta)
-    if not sta:
+    if not (sta or sta_int8):
         cos, sin = make_joint_freqs(cos, sin, lt, cfg.seq_pad_multiple)
 
     ks = jax.random.split(jax.random.PRNGKey(1), 4)
@@ -207,12 +208,14 @@ REF_TOKENS = 118800 + 256
 
 
 def run_one(height, width, frames, sta=False, int8=False, attn_int8=False,
-            staged=None):
+            staged=None, sta_int8=False):
     sec, n_tok, hidden = bench_step(height, width, frames, sta=sta, int8=int8,
-                                    attn_int8=attn_int8, staged=staged)
+                                    attn_int8=attn_int8, staged=staged,
+                                    sta_int8=sta_int8)
     ref_equiv = REF_SEC * (model_flops(n_tok, hidden)
                            / model_flops(REF_TOKENS, hidden))
-    tag = ((" sta" if sta else "") + (" qk8" if attn_int8 else "")
+    tag = ((" sta8" if sta_int8 else " sta" if sta else "")
+           + (" qk8" if attn_int8 else "")
            + (" staged" if staged else ""))
     print(json.dumps({
         "metric": f"sec/denoise-step 13B {'int8' if int8 else 'fp8'} "
@@ -290,6 +293,7 @@ if __name__ == "__main__":
             staged = (int(sys.argv[si + 1]), int(sys.argv[si + 2]))
         run_one(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
                 sta="--sta" in sys.argv, int8="--int8" in sys.argv,
-                attn_int8="--attn-int8" in sys.argv, staged=staged)
+                attn_int8="--attn-int8" in sys.argv, staged=staged,
+                sta_int8="--sta-int8" in sys.argv)
     else:
         main()

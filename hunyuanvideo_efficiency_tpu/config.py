@@ -241,7 +241,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--profile-dir", type=str, default=None)
     g.add_argument("--attn-mode", type=str, default=d.attn_mode,
                    choices=["auto", "flash", "flash_int8", "sdpa",
-                            "chunked", "sta"])
+                            "chunked", "sta", "sta_int8"])
     g.add_argument("--sta-window", type=int, nargs=3,
                    default=list(d.sta_window))
     g.add_argument("--sta-dense-blocks", type=int, default=d.sta_dense_blocks)

@@ -36,7 +36,7 @@ import numpy as np
 from ..ops.attention import (attention, joint_attention, sdpa_attention,
                              text_key_bias)
 from ..ops.norms import layer_norm, rms_norm
-from ..ops.rope import apply_rotary_emb
+from ..ops.rope import apply_rotary_emb, rotate_tokens
 from .dit_config import DiTConfig
 
 Params = Dict[str, Any]
@@ -74,7 +74,28 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+_INT8_CHUNK_TOKENS = 100_000
+"""Token count above which _int8_linear internally chunks its token axis.
+
+The s8xs8 dot's s32 output must materialize at [L, out] x 4 bytes — at
+720p-class lengths (119808 tokens) that is 1.1-1.5 GB per projection, and
+with 13B int8 params already holding 12.4 GB of HBM those temps are what
+pushed the staged 720p step past 15.75 GB at runtime. Chunking bounds them
+to [chunk, out]. 544p-class shapes (67.8k tokens) fit un-chunked and keep
+their measured perf, hence the high threshold."""
+
+
+_INT8_CHUNK_SIZE = 8192
+
+
 def _int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if x.ndim == 3 and x.shape[1] > _INT8_CHUNK_TOKENS:
+        return _chunked_tokens(lambda u: _int8_linear_body(p, u), x,
+                               _INT8_CHUNK_SIZE)
+    return _int8_linear_body(p, x)
+
+
+def _int8_linear_body(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Dynamic per-token activation quant + s8xs8->s32 MXU dot.
 
     Weights carry per-output-channel scales ({'kernel': int8, 'scale_out':
@@ -194,6 +215,30 @@ def _qk_norm(p_q, p_k, q, k, cfg: DiTConfig, chunk=None):
     return norm_chunked(q, p_q), norm_chunked(k, p_k)
 
 
+def _qk_norm_rope(p_q, p_k, q, k, cfg: DiTConfig, freqs_cis=None,
+                  chunk=None):
+    """Fused QK-norm + RoPE: ONE token-chunked pass over q/k instead of two.
+
+    Each separate chunked pass costs a full HBM read+write of q and k
+    ([B, L, H, D] ~400 MB bf16 each at 544p, x2 tensors x60 blocks), and
+    the lax.map chunk bodies cannot fuse across passes; rotating the
+    freshly-normed chunk while it is live in VMEM halves that elementwise
+    traffic. Results are bit-identical to norm-then-rotate (both fp32 per
+    token)."""
+    if freqs_cis is None:
+        return _qk_norm(p_q, p_k, q, k, cfg, chunk)
+    if not cfg.qk_norm:
+        return apply_rotary_emb(q, k, freqs_cis, chunk=chunk)
+
+    def pre(pp):
+        if cfg.qk_norm_type == "rms":
+            return lambda x: rms_norm(x, pp["scale"])
+        return lambda x: layer_norm(x, pp.get("scale"), pp.get("bias"))
+
+    return (rotate_tokens(q, freqs_cis, chunk=chunk, pre=pre(p_q)),
+            rotate_tokens(k, freqs_cis, chunk=chunk, pre=pre(p_k)))
+
+
 # --------------------------------------------------------------------------
 # Token refiner (reference: hyvideo/modules/token_refiner.py)
 # --------------------------------------------------------------------------
@@ -293,18 +338,29 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
 
     joint_rope = (freqs_cis is not None
                   and freqs_cis[0].shape[0] == img_len + txt_len)
-    if not (joint_rope and cfg.attn_head_chunks > 1):
+    # img rows of the RoPE table: a joint table's text rows are identity
+    # (cos=1, sin=0 — see dit_forward), so norm+rope fuse on the img part
+    # and the txt part needs norm only; an img-only table slices to itself.
+    img_freqs = (None if freqs_cis is None
+                 else (freqs_cis[0][:img_len], freqs_cis[1][:img_len]))
+    # Head-group loop also applies on the split img/txt (STA) path — the
+    # sequence-parallel path shards heads across chips instead, so the two
+    # mechanisms are mutually exclusive.
+    split_groups = (cfg.attn_head_chunks > 1 and not joint_rope
+                    and not cfg.ulysses_axis and not cfg.ring_axis)
+    if not (joint_rope and cfg.attn_head_chunks > 1) and not split_groups:
         img_q, img_k, img_v = _qkv_proj(p["img_attn_qkv"], img_m, heads, d)
-        img_q, img_k = _qk_norm(p["img_attn_q_norm"], p["img_attn_k_norm"],
-                                img_q, img_k, cfg,
-                                chunk=cfg.mlp_chunk_tokens)
+        img_q, img_k = _qk_norm_rope(p["img_attn_q_norm"],
+                                     p["img_attn_k_norm"],
+                                     img_q, img_k, cfg, img_freqs,
+                                     chunk=cfg.mlp_chunk_tokens)
         txt_q, txt_k, txt_v = _qkv_proj(p["txt_attn_qkv"], txt_m, heads, d)
         txt_q, txt_k = _qk_norm(p["txt_attn_q_norm"], p["txt_attn_k_norm"],
                                 txt_q, txt_k, cfg)
     if joint_rope:
-        # Identity-extended RoPE table (see dit_forward): concat first,
-        # rotate the joint sequence in place — the separately-rope'd img
-        # q/k buffers never exist (2 x 696 MB of peak HBM at 720p). With
+        # Pre-rotated img q/k concat with identity-rope (= un-rotated) txt:
+        # no separate joint-rope pass, and the separately-rope'd img q/k
+        # buffers never exist (2 x 696 MB of peak HBM at 720p). With
         # attn_head_chunks > 1 attention additionally runs per head group
         # (column slices of the fused qkv weights in, row slices of the
         # projection out — algebraically identical), dividing the q/k/v
@@ -332,9 +388,10 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
             else:
                 iq, ik, iv = _qkv_proj_group(p["img_attn_qkv"], img_u,
                                              heads, d, g, hg)
-                iq, ik = _qk_norm(p["img_attn_q_norm"],
-                                  p["img_attn_k_norm"], iq, ik, cfg,
-                                  chunk=cfg.mlp_chunk_tokens)
+                iq, ik = _qk_norm_rope(p["img_attn_q_norm"],
+                                       p["img_attn_k_norm"], iq, ik, cfg,
+                                       img_freqs,
+                                       chunk=cfg.mlp_chunk_tokens)
                 tq, tk, tv = _qkv_proj_group(p["txt_attn_qkv"], txt_u,
                                              heads, d, g, hg)
                 tq, tk = _qk_norm(p["txt_attn_q_norm"],
@@ -342,8 +399,6 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
             q = jnp.concatenate([iq, tq], axis=1)
             k = jnp.concatenate([ik, tk], axis=1)
             v = jnp.concatenate([iv, tv], axis=1)
-            q, k = apply_rotary_emb(q, k, freqs_cis,
-                                    chunk=cfg.mlp_chunk_tokens)
             attn = attention(q, k, v, mode=cfg.attn_mode,
                              key_bias=key_bias, bound_mode=_bound_mode(cfg))
             o, e = g * hg * d, (g + 1) * hg * d
@@ -353,10 +408,44 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
                                    keep_bias=(g == 0)), attn[:, img_len:])
             img_po = io if img_po is None else img_po + io
             txt_po = to if txt_po is None else txt_po + to
+    elif split_groups:
+        # Head-grouped split-path attention (STA at 720p-class shapes):
+        # per group, project a column slice of the fused qkv weights,
+        # attend, and accumulate the row-sliced projection — identical math
+        # to all-heads-at-once, but q/k/v (and STA's tile-permuted copies)
+        # exist for heads_num/ng heads at a time.
+        ng = cfg.attn_head_chunks
+        hg = heads // ng
+        img_po = txt_po = None
+        img_u, txt_u = img_m, txt_m
+        for g in range(ng):
+            if g > 0:
+                # sequence the unrolled groups (see joint branch above)
+                img_u, txt_u, img_po, txt_po = jax.lax.optimization_barrier(
+                    (img_m, txt_m, img_po, txt_po))
+            iq, ik, iv = _qkv_proj_group(p["img_attn_qkv"], img_u,
+                                         heads, d, g, hg)
+            iq, ik = _qk_norm_rope(p["img_attn_q_norm"],
+                                   p["img_attn_k_norm"], iq, ik, cfg,
+                                   img_freqs, chunk=cfg.mlp_chunk_tokens)
+            tq, tk, tv = _qkv_proj_group(p["txt_attn_qkv"], txt_u,
+                                         heads, d, g, hg)
+            tq, tk = _qk_norm(p["txt_attn_q_norm"],
+                              p["txt_attn_k_norm"], tq, tk, cfg)
+            ia, ta = joint_attention(
+                iq, ik, iv, tq, tk, tv, txt_bias,
+                mode=cfg.attn_mode, token_grid=token_grid,
+                sta_tile=cfg.sta_tile, sta_window=cfg.sta_window,
+                bound_mode=_bound_mode(cfg))
+            o, e = g * hg * d, (g + 1) * hg * d
+            io = linear(_row_slice(p["img_attn_proj"], o, e,
+                                   keep_bias=(g == 0)), ia)
+            to = linear(_row_slice(p["txt_attn_proj"], o, e,
+                                   keep_bias=(g == 0)), ta)
+            img_po = io if img_po is None else img_po + io
+            txt_po = to if txt_po is None else txt_po + to
     else:
-        if freqs_cis is not None:
-            img_q, img_k = apply_rotary_emb(img_q, img_k, freqs_cis,
-                                            chunk=cfg.mlp_chunk_tokens)
+        # RoPE already fused into the img QK-norm pass above
         img_attn, txt_attn = joint_attention(
             img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
             mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
@@ -450,26 +539,52 @@ def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
                 qg, kg, vg = _qkv_proj(p_qkv, x_u, heads, d)
             else:
                 qg, kg, vg = _qkv_proj_group(p_qkv, x_u, heads, d, g, hg)
-            qg, kg = _qk_norm(p["q_norm"], p["k_norm"], qg, kg, cfg,
-                              chunk=cfg.mlp_chunk_tokens)
-            qg, kg = apply_rotary_emb(qg, kg, freqs_cis,
-                                      chunk=cfg.mlp_chunk_tokens)
+            qg, kg = _qk_norm_rope(p["q_norm"], p["k_norm"], qg, kg, cfg,
+                                   freqs_cis, chunk=cfg.mlp_chunk_tokens)
             attn = attention(qg, kg, vg, mode=cfg.attn_mode,
                              key_bias=key_bias, bound_mode=_bound_mode(cfg))
             og = linear(_row_slice(p["linear2"], g * hg * d,
                                    (g + 1) * hg * d, keep_bias=(g == 0)),
                         attn)
             out = og if out is None else out + og
+    elif (cfg.attn_head_chunks > 1 and not cfg.ulysses_axis
+          and not cfg.ring_axis):
+        # Head-grouped split-path attention (STA) — see double_block
+        ng = cfg.attn_head_chunks
+        hg = heads // ng
+        out = None
+        x_u = x_mod
+        for g in range(ng):
+            if g > 0:
+                x_u, out = jax.lax.optimization_barrier((x_mod, out))
+            qg, kg, vg = _qkv_proj_group(p_qkv, x_u, heads, d, g, hg)
+            iq, tq = qg[:, :-txt_len], qg[:, -txt_len:]
+            ik, tk = kg[:, :-txt_len], kg[:, -txt_len:]
+            iv, tv = vg[:, :-txt_len], vg[:, -txt_len:]
+            iq, ik = _qk_norm_rope(p["q_norm"], p["k_norm"], iq, ik, cfg,
+                                   freqs_cis, chunk=cfg.mlp_chunk_tokens)
+            tq, tk = _qk_norm(p["q_norm"], p["k_norm"], tq, tk, cfg)
+            ia, ta = joint_attention(
+                iq, ik, iv, tq, tk, tv, txt_bias,
+                mode=cfg.attn_mode, token_grid=token_grid,
+                sta_tile=cfg.sta_tile, sta_window=cfg.sta_window,
+                bound_mode=_bound_mode(cfg))
+            attn = jnp.concatenate([ia, ta], axis=1)
+            og = linear(_row_slice(p["linear2"], g * hg * d,
+                                   (g + 1) * hg * d, keep_bias=(g == 0)),
+                        attn)
+            out = og if out is None else out + og
     else:
         q, k, v = _qkv_proj(p_qkv, x_mod, heads, d)
-        q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k, cfg,
-                        chunk=cfg.mlp_chunk_tokens)
         img_q, txt_q = q[:, :-txt_len], q[:, -txt_len:]
         img_k, txt_k = k[:, :-txt_len], k[:, -txt_len:]
         img_v, txt_v = v[:, :-txt_len], v[:, -txt_len:]
-        if freqs_cis is not None:
-            img_q, img_k = apply_rotary_emb(img_q, img_k, freqs_cis,
-                                            chunk=cfg.mlp_chunk_tokens)
+        # norm is per-token with shared scales, so splitting first and
+        # fusing RoPE into the img norm pass is exact
+        img_q, img_k = _qk_norm_rope(p["q_norm"], p["k_norm"], img_q, img_k,
+                                     cfg, freqs_cis,
+                                     chunk=cfg.mlp_chunk_tokens)
+        txt_q, txt_k = _qk_norm(p["q_norm"], p["k_norm"], txt_q, txt_k, cfg)
         img_attn, txt_attn = joint_attention(
             img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
             mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
@@ -588,7 +703,8 @@ def _forward_preamble(
     # sequence in place instead of split -> rotate img -> re-concat (those
     # copies were ~2 GB of HBM peak at 720p). Only valid when attention
     # consumes the joint layout directly (not STA / sequence parallel).
-    joint_ok = (cfg.attn_mode != "sta" and not cfg.ulysses_axis
+    joint_ok = (not cfg.attn_mode.startswith("sta")
+                and not cfg.ulysses_axis
                 and not cfg.ring_axis)
     if freqs_cis is not None and joint_ok:
         if freqs_cos.shape[0] == img_len + txt_len:
@@ -663,7 +779,7 @@ def dit_forward(
         """Scan stacked blocks; under STA, the first n_dense blocks run
         with dense flash attention (sta_dense_*_blocks, paper-style
         quality anchor layers) via a split scan."""
-        if cfg.attn_mode == "sta" and n_dense > 0:
+        if cfg.attn_mode.startswith("sta") and n_dense > 0:
             from dataclasses import replace as _replace
 
             dense_cfg = _replace(cfg, attn_mode="auto")
@@ -763,7 +879,7 @@ def _chunk_plan(depth, n_chunks, n_dense, cfg):
     """Cut [0, depth) into ~n_chunks (start, length, block_cfg) pieces,
     respecting the STA dense-head boundary (those blocks run with dense
     attention — see run_stack in dit_forward)."""
-    if n_dense > 0 and cfg is not None and cfg.attn_mode == "sta":
+    if n_dense > 0 and cfg is not None and cfg.attn_mode.startswith("sta"):
         from dataclasses import replace as _replace
 
         segs = [(0, n_dense, _replace(cfg, attn_mode="auto")),

@@ -207,7 +207,7 @@ def joint_attention(
     TPU-native analog of the reference's parallel_attention
     (reference: hyvideo/modules/attenion.py:159-212).
     """
-    if mode == "sta":
+    if mode in ("sta", "sta_int8"):
         if token_grid is None:
             raise ValueError("attn_mode='sta' requires token_grid")
         if ulysses_axis or ring_axis:
@@ -217,10 +217,13 @@ def joint_attention(
                 "'flash' for multi-chip runs")
         from .sta import sta_joint_attention
 
+        # "sta_int8" = STA with in-kernel int8 QK^T; needs the static score
+        # bound, which _bound_mode grants whenever QK-norm is on
         return sta_joint_attention(
             img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
             grid=tuple(token_grid), tile=tuple(sta_tile),
-            window=tuple(sta_window), scale=scale)
+            window=tuple(sta_window), scale=scale, bound_mode=bound_mode,
+            qk_int8=(mode == "sta_int8"))
     if ulysses_axis or ring_axis:
         from ..parallel.sp_attention import usp_joint_attention
 
@@ -283,8 +286,13 @@ def attention(
         return flash_attention_vjp(q, k, v, key_bias, scale, 1024, 2048,
                                    bound_mode)
     if mode == "flash_int8":
-        # int8-QK SageAttention-style kernel (inference only: no VJP)
+        # int8-QK SageAttention-style kernel (inference only: no VJP).
+        # bound_mode "static" (QK-norm models) also drops the running max,
+        # letting the 2x s8 MXU rate show (see _flash_int8_nomax_kernel);
+        # "auto" has no traced dispatch here — it means the safe running-max.
         from .flash_attention import flash_attention_int8
 
-        return flash_attention_int8(q, k, v, key_bias=key_bias, scale=scale)
+        return flash_attention_int8(
+            q, k, v, key_bias=key_bias, scale=scale,
+            bound_mode="static" if bound_mode == "static" else "running")
     raise NotImplementedError(f"Unsupported attention mode: {mode}")

@@ -431,6 +431,114 @@ def _flash_int8_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
+def _flash_int8_nomax_kernel(c_ref, kb_ref, q_ref, k_ref, v_ref, o_ref,
+                             l_scr, acc_scr, *, scale: float, nk: int,
+                             n_sub: int):
+    """int8 QK^T + static-offset softmax: the two measured wins combined.
+
+    The running-max variant of the int8 kernel was speed-neutral vs bf16
+    flash because the VPU absmax/round quantization work serialized against
+    the same running-max reduce that already idled the MXU; with the static
+    offset C (see _flash_nomax_kernel) the quantize + exp of one sub-tile
+    overlap the next sub-tile's s8 MXU dot, so the 2x s8 MXU rate shows.
+    C must bound the *quantized* scores; the caller inflates the
+    Cauchy-Schwarz bound by (1 + sqrt(d)/254)^2 to cover rounding."""
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    c = c_ref[bi, hi]
+    qf = q_ref[0].astype(jnp.float32)                    # [bq, d]
+    sq = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-6) * (1.0 / 127.0)
+    q8 = jnp.round(qf * (1.0 / sq)).astype(jnp.int8)
+    bk = k_ref.shape[1]
+    sub = bk // n_sub
+    l_new = l_scr[...]
+    pv = None
+    for j in range(n_sub):
+        kf = k_ref[0, j * sub:(j + 1) * sub].astype(jnp.float32)
+        sk = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-6) * (1.0 / 127.0)
+        k8 = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
+        sj = jax.lax.dot_general(
+            q8, k8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)            # [bq, sub] s32
+        p = jnp.exp(sj.astype(jnp.float32) * (sq * sk * scale)
+                    + (kb_ref[0, 0:1, j * sub:(j + 1) * sub] - c))
+        l_new = l_new + jnp.sum(p, axis=-1, keepdims=True)
+        pvj = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, j * sub:(j + 1) * sub],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        pv = pvj if pv is None else pv + pvj
+    l_scr[...] = l_new
+    acc_scr[...] += pv
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        denom = jnp.maximum(l_scr[...][:, :1], 1e-37)
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "scale", "block_q", "block_k", "interpret"))
+def _flash_int8_nomax_packed(q, k, v, kb, c, heads: int, scale: float,
+                             block_q: int, block_k: int, interpret: bool):
+    """Static-offset int8 variant; c [B, H] f32 inflated score bounds ride
+    SMEM via scalar prefetch (same contract as _flash_nomax_packed)."""
+    b, sq_p, hd = q.shape
+    sk_p = k.shape[1]
+    d = hd // heads
+    nq = sq_p // block_q
+    nk = sk_p // block_k
+
+    grid = (b, heads, nq, nk)
+    n_sub = 4 if block_k % 512 == 0 else (2 if block_k % 256 == 0 else 1)
+    kernel = functools.partial(_flash_int8_nomax_kernel, scale=scale, nk=nk,
+                               n_sub=n_sub)
+    flops = 4 * b * heads * sq_p * sk_p * d
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # c [B, H] f32
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 8, block_k),
+                             lambda bi, hi, qi, ki, cs: (bi, 0, ki)),
+                pl.BlockSpec((1, block_q, d),
+                             lambda bi, hi, qi, ki, cs: (bi, qi, hi)),
+                pl.BlockSpec((1, block_k, d),
+                             lambda bi, hi, qi, ki, cs: (bi, ki, hi)),
+                pl.BlockSpec((1, block_k, d),
+                             lambda bi, hi, qi, ki, cs: (bi, ki, hi)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, d),
+                lambda bi, hi, qi, ki, cs: (bi, qi, hi)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, sq_p, hd), v.dtype),
+        input_output_aliases={2: 0},  # out overwrites q (see nomax variant)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=(q.size + k.size + v.size) * 2,
+            transcendentals=b * heads * sq_p * sk_p),
+        interpret=interpret,
+    )(c, kb, q, k, v)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "scale", "block_q", "block_k", "interpret"))
@@ -491,6 +599,7 @@ def flash_attention_int8(
     block_q: int = 1024,
     block_k: int = 2048,
     smooth_k: bool = True,
+    bound_mode: str = "running",
 ) -> jnp.ndarray:
     """Flash attention with int8-quantized QK^T; q/k/v [B, S, H, D] ->
     [B, Sq, H*D].
@@ -505,6 +614,14 @@ def flash_attention_int8(
       error drops sharply (channel-coherent outliers dominate k's range).
     * Softmax statistics stay fp32; P.V stays in v's dtype (bf16) — only
       QK^T is quantized. Inference-only (no custom VJP).
+
+    bound_mode "static" uses the static-offset kernel (no running max; see
+    flash_attention): the Cauchy-Schwarz bound is inflated by
+    (1 + sqrt(d)/254)^2 so it also bounds the int8-rounded scores (per-row
+    rounding adds at most sqrt(d)/2 quantization steps to a row norm, and a
+    row's norm is at least its absmax = 127 steps). Only valid when the
+    caller knows scores are bounded (QK-RMSNorm); "running" is the safe
+    default.
     """
     b, sq_len, hh, d = q.shape
     sk_len = k.shape[1]
@@ -538,6 +655,16 @@ def flash_attention_int8(
                      constant_values=NEG_INF)
     kb = jnp.broadcast_to(kb[:, None, :], (b, 8, sk_p))
 
-    out = _flash_int8_packed(qp, kp, vp, kb, hh, float(scale_f), block_q,
-                             block_k, interpret)
+    if bound_mode == "static":
+        # Cauchy-Schwarz bound on the (smoothed) q/k, inflated for int8
+        # rounding error (see docstring).
+        qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
+        kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
+        infl = (1.0 + d ** 0.5 / 254.0) ** 2
+        c = jnp.max(qn, axis=1) * jnp.max(kn, axis=1) * scale_f * infl
+        out = _flash_int8_nomax_packed(qp, kp, vp, kb, c, hh, float(scale_f),
+                                       block_q, block_k, interpret)
+    else:
+        out = _flash_int8_packed(qp, kp, vp, kb, hh, float(scale_f), block_q,
+                                 block_k, interpret)
     return out[:, :sq_len]

@@ -90,46 +90,63 @@ def _rotate_one(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
     return out.astype(x.dtype)
 
 
-def apply_rotary_emb(
-    xq: jnp.ndarray,
-    xk: jnp.ndarray,
+def rotate_tokens(
+    x: jnp.ndarray,
     freqs_cis: Tuple[jnp.ndarray, jnp.ndarray],
     chunk: int | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Apply rotary embedding to q/k shaped [B, S, H, D] (seq-second layout).
+    pre=None,
+) -> jnp.ndarray:
+    """Rotate one tensor [B, S, H, D] with (cos, sin) tables [S, D].
 
-    cos/sin: [S, D]. Computed in fp32 and cast back, matching the reference's
-    fp32 rotation (posemb_layers.py:170-171).
+    Computed in fp32 and cast back, matching the reference's fp32 rotation
+    (reference: hyvideo/modules/posemb_layers.py:170-171).
 
     `chunk`: apply over token chunks via `lax.map` so the fp32 intermediates
     never materialize at full sequence length (at 67k tokens x 24 heads they
     are ~0.8 GB each — the difference between fitting and OOM at 720p-class
     shapes on a 16 GB chip). The rotation is pointwise per token, so results
     are identical.
+
+    `pre`: optional per-token map applied to each chunk *in the same pass*
+    (models/dit.py fuses QK-RMSNorm here — each separate chunked pass costs
+    a full HBM read+write of the tensor, and lax.map bodies cannot fuse
+    across passes). `pre` must be pointwise per token; it sees zero-padded
+    tail rows, whose output is sliced off.
     """
     cos, sin = freqs_cis
-    cosb = cos[None, :, None, :]
-    sinb = sin[None, :, None, :]
-    s = xq.shape[1]
+    if pre is None:
+        pre = lambda u: u  # noqa: E731
+    s = x.shape[1]
     if chunk is None or s <= chunk:
-        return (_rotate_one(xq, cosb, sinb), _rotate_one(xk, cosb, sinb))
+        return _rotate_one(pre(x), cos[None, :, None, :],
+                           sin[None, :, None, :])
 
     import jax
 
-    def chunked(x):
-        b, s_, h, d = x.shape
-        pad = (-s_) % chunk
-        xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else x
-        cp = jnp.pad(cos, ((0, pad), (0, 0))) if pad else cos
-        sp = jnp.pad(sin, ((0, pad), (0, 0))) if pad else sin
-        nc = xp.shape[1] // chunk
-        xc = xp.reshape(b, nc, chunk, h, d).transpose(1, 0, 2, 3, 4)
-        cc = cp.reshape(nc, 1, chunk, 1, d)
-        sc = sp.reshape(nc, 1, chunk, 1, d)
-        yc = jax.lax.map(lambda t: _rotate_one(*t), (xc, cc, sc))
-        return yc.transpose(1, 0, 2, 3, 4).reshape(b, nc * chunk, h, d)[:, :s_]
+    b, s_, h, d = x.shape
+    pad = (-s_) % chunk
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else x
+    cp = jnp.pad(cos, ((0, pad), (0, 0))) if pad else cos
+    sp = jnp.pad(sin, ((0, pad), (0, 0))) if pad else sin
+    nc = xp.shape[1] // chunk
+    xc = xp.reshape(b, nc, chunk, h, d).transpose(1, 0, 2, 3, 4)
+    cc = cp.reshape(nc, 1, chunk, 1, d)
+    sc = sp.reshape(nc, 1, chunk, 1, d)
+    yc = jax.lax.map(lambda t: _rotate_one(pre(t[0]), t[1], t[2]),
+                     (xc, cc, sc))
+    return yc.transpose(1, 0, 2, 3, 4).reshape(b, nc * chunk, h, d)[:, :s_]
 
-    return chunked(xq), chunked(xk)
+
+def apply_rotary_emb(
+    xq: jnp.ndarray,
+    xk: jnp.ndarray,
+    freqs_cis: Tuple[jnp.ndarray, jnp.ndarray],
+    chunk: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply rotary embedding to q/k shaped [B, S, H, D] (seq-second layout);
+    see `rotate_tokens` for the chunking contract."""
+    return (rotate_tokens(xq, freqs_cis, chunk),
+            rotate_tokens(xk, freqs_cis, chunk))
 
 
 def make_joint_freqs(cos, sin, txt_len: int,

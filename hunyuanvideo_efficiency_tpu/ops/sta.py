@@ -178,6 +178,144 @@ def _sta_kernel(nbr_ref, dma_ref, *refs, scale: float, n_groups: int,
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
+def _sta_nomax_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
+                      n_groups: int, slot_block: int, head_block: int,
+                      d: int, quant: bool):
+    """Static-offset STA fold (optionally int8-QK) — see _sta_kernel for
+    the grid/ref layout.
+
+    Like the dense flash `_flash_nomax_kernel`: with QK-norm bounding the
+    scores, `exp(s - C)` is overflow/underflow-safe for a per-(batch, head)
+    Cauchy-Schwarz bound C, so the running-max reduce, the `corr` rescales
+    of l/acc, and the m scratch all drop — the accumulators become pure
+    adds that overlap the next slot's MXU dot. `quant` additionally runs
+    QK^T as s8 x s8 -> s32 (2x the bf16 MXU rate); the caller inflates C
+    by (1 + sqrt(d)/254)^2 to also bound the int8-rounded scores."""
+    kb_refs = refs[:slot_block]
+    q_ref = refs[slot_block]
+    k_refs = refs[slot_block + 1:2 * slot_block + 1]
+    v_refs = refs[2 * slot_block + 1:3 * slot_block + 1]
+    o_ref = refs[3 * slot_block + 1]
+    l_scr, acc_scr = refs[3 * slot_block + 2:]
+
+    bi = pl.program_id(0)
+    hg = pl.program_id(1)
+    qi = pl.program_id(2)
+    g = pl.program_id(3)
+
+    @pl.when(g == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    for i in range(slot_block):
+        @pl.when(nbr_ref[qi, g * slot_block + i] >= 0)
+        def _fold(i=i):
+            kb = kb_refs[i][0, 0:1, :]
+            for h in range(head_block):
+                cs = slice(h * d, (h + 1) * d)
+                c = c_ref[bi, hg * head_block + h]
+                if quant:
+                    qf = q_ref[0][:, cs].astype(jnp.float32)
+                    sq = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-6) / 127.0
+                    q8 = jnp.round(qf * (1.0 / sq)).astype(jnp.int8)
+                    kf = k_refs[i][0][:, cs].astype(jnp.float32)
+                    sk = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-6) / 127.0
+                    k8 = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
+                    s32 = jax.lax.dot_general(
+                        q8, k8, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    s = s32.astype(jnp.float32) * (sq * sk * scale)
+                else:
+                    s = jax.lax.dot_general(
+                        q_ref[0][:, cs], k_refs[i][0][:, cs],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale
+                p = jnp.exp(s + (kb - c))
+                pv = jax.lax.dot_general(
+                    p.astype(v_refs[i].dtype), v_refs[i][0][:, cs],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                l_scr[:, h:h + 1] = (l_scr[:, h:h + 1]
+                                     + jnp.sum(p, -1, keepdims=True))
+                acc_scr[:, cs] = acc_scr[:, cs] + pv
+
+    @pl.when(g == n_groups - 1)
+    def _finish():
+        denom = jnp.concatenate(
+            [jnp.broadcast_to(jnp.maximum(l_scr[:, h:h + 1], 1e-37),
+                              (l_scr.shape[0], d))
+             for h in range(head_block)], axis=1)
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "block", "n_slots",
+                              "interpret", "quant"))
+def _sta_call_nomax(nbr, kb, q, kcat, vcat, c, heads, scale, block, n_slots,
+                    interpret, quant):
+    """Static-offset variant of _sta_call; c [B, H] f32 score bounds ride
+    SMEM via scalar prefetch (inflated by the caller when quant=True)."""
+    b, sq, hd = q.shape
+    d = hd // heads
+    n_tiles = sq // block
+
+    head_block = next(hb for hb in (8, 6, 4, 3, 2, 1) if heads % hb == 0)
+    slot_block = 4
+    n_groups = _ceil(n_slots, slot_block)
+    if n_slots % slot_block:
+        pad = n_groups * slot_block - n_slots
+        nbr = jnp.pad(nbr, ((0, 0), (0, pad)), constant_values=-1)
+    grid = (b, heads // head_block, n_tiles, n_groups)
+
+    nbr_dma = jnp.maximum(nbr, 0)
+    hb_d = head_block * d
+
+    def kb_spec(i):
+        return pl.BlockSpec(
+            (1, 8, block),
+            lambda bi, hi, qi, g, nbr_s, dma_s, c_s, i=i:
+                (bi, 0, dma_s[qi, g * slot_block + i]))
+
+    def kv_spec(i):
+        return pl.BlockSpec(
+            (1, block, hb_d),
+            lambda bi, hi, qi, g, nbr_s, dma_s, c_s, i=i:
+                (bi, dma_s[qi, g * slot_block + i], hi))
+
+    q_spec = pl.BlockSpec(
+        (1, block, hb_d),
+        lambda bi, hi, qi, g, nbr_s, dma_s, c_s: (bi, qi, hi))
+
+    out = pl.pallas_call(
+        functools.partial(_sta_nomax_kernel, scale=scale, n_groups=n_groups,
+                          slot_block=slot_block, head_block=head_block, d=d,
+                          quant=quant),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # nbr (kernel), nbr_dma (maps), c (kernel)
+            grid=grid,
+            in_specs=(
+                [kb_spec(i) for i in range(slot_block)]
+                + [q_spec]
+                + [kv_spec(i) for i in range(slot_block)]
+                + [kv_spec(i) for i in range(slot_block)]
+            ),
+            out_specs=pl.BlockSpec(
+                (1, block, hb_d),
+                lambda bi, hi, qi, g, nbr_s, dma_s, c_s: (bi, qi, hi)),
+            scratch_shapes=[pltpu.VMEM((block, 128), jnp.float32),
+                            pltpu.VMEM((block, hb_d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(nbr, nbr_dma, c, *([kb] * slot_block), q,
+      *([kcat] * slot_block), *([vcat] * slot_block))
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("heads", "scale", "block", "n_slots",
                               "interpret"))
@@ -260,10 +398,18 @@ def sta_joint_attention(
     tile: Tuple[int, int, int] = (4, 8, 8),
     window: Tuple[int, int, int] = (3, 3, 3),
     scale: Optional[float] = None,
+    bound_mode: str = "auto",
+    qk_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """STA for img queries + dense flash for txt queries.
 
     Returns (img_out [B, S_img, H*D], txt_out [B, Lt, H*D]).
+
+    bound_mode "static" (valid under QK-norm; see ops/flash_attention)
+    switches to the static-offset kernel — no running max, pure-add
+    accumulators. qk_int8 additionally quantizes QK^T to s8 inside the
+    kernel (requires bound_mode="static"; the bound is inflated for the
+    rounding error as in flash_attention_int8).
     """
     from .attention import attention
 
@@ -271,6 +417,9 @@ def sta_joint_attention(
     lt = txt_q.shape[1]
     scale = scale if scale is not None else d ** -0.5
     interpret = jax.default_backend() != "tpu"
+    if qk_int8 and bound_mode != "static":
+        raise ValueError("sta qk_int8 requires bound_mode='static' "
+                         "(QK-norm score bound)")
 
     block = tile[0] * tile[1] * tile[2]
     assert block % 8 == 0, "tile token count must be a multiple of 8"
@@ -307,8 +456,25 @@ def sta_joint_attention(
     kb = jnp.concatenate([img_bias, tb], axis=1)
     kb = jnp.broadcast_to(kb[:, None, :], (b, 8, kb.shape[1]))
 
-    img_out_p = _sta_call(nbr, kb, qp, kcat, vcat, hh, float(scale), block,
-                          n_slots, interpret)
+    if bound_mode == "static":
+        # per-(batch, head) Cauchy-Schwarz score bound over img queries vs
+        # ALL keys (img + txt); computed on the un-permuted tensors (the
+        # permutation only reorders rows)
+        qn = jnp.max(jnp.sqrt(jnp.sum(
+            jnp.square(img_q.astype(jnp.float32)), axis=-1)), axis=1)
+        kn = jnp.maximum(
+            jnp.max(jnp.sqrt(jnp.sum(
+                jnp.square(img_k.astype(jnp.float32)), axis=-1)), axis=1),
+            jnp.max(jnp.sqrt(jnp.sum(
+                jnp.square(txt_k.astype(jnp.float32)), axis=-1)), axis=1))
+        infl = (1.0 + d ** 0.5 / 254.0) ** 2 if qk_int8 else 1.0
+        c = qn * kn * scale * infl  # [B, H]
+        img_out_p = _sta_call_nomax(nbr, kb, qp, kcat, vcat, c, hh,
+                                    float(scale), block, n_slots, interpret,
+                                    qk_int8)
+    else:
+        img_out_p = _sta_call(nbr, kb, qp, kcat, vcat, hh, float(scale),
+                              block, n_slots, interpret)
     img_out = _unpermute_tokens(img_out_p, grid, plan)
 
     # Text queries: FULL attention over [img | txt] (row-major keys), via

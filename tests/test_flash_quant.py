@@ -139,6 +139,25 @@ class TestInt8:
         rel = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref))))
         assert rel < 0.03, rel
 
+    def test_int8_linear_token_chunking_exact(self, monkeypatch):
+        # above _INT8_CHUNK_TOKENS the int8 matmul runs over token chunks
+        # (bounds the [L, out] s32 temp at 720p-class lengths); results must
+        # be bit-identical to the unchunked dot — per-token quantization is
+        # independent across tokens
+        import hunyuanvideo_efficiency_tpu.models.dit as dit_mod
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_tensor_int8)
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        w = jax.random.normal(k1, (64, 48)) * 0.05
+        x = jax.random.normal(k2, (1, 40, 64))
+        q = quantize_tensor_int8(w)
+        ref = dit_mod.linear(q, x)
+        monkeypatch.setattr(dit_mod, "_INT8_CHUNK_TOKENS", 16)
+        monkeypatch.setattr(dit_mod, "_INT8_CHUNK_SIZE", 16)
+        out = dit_mod.linear(q, x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     def test_int8_col_row_slices_match_slice_of_full(self):
         from hunyuanvideo_efficiency_tpu.models.dit import (
             _col_slice, _row_slice, linear)
@@ -257,6 +276,51 @@ class TestFlashInt8:
         ref = sdpa_attention(q, k, v, bias=bias)
         rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
         assert rel < 0.03, rel
+
+    def test_static_offset_matches_running(self):
+        # bound_mode="static" (int8 QK + no running max) must agree with
+        # the running-max int8 kernel on normed-scale inputs to fp32-exp
+        # rounding; both must track sdpa
+        from hunyuanvideo_efficiency_tpu.ops.flash_attention import (
+            flash_attention_int8)
+
+        q, k, v, bias = self._data(s=300, seed=2)
+        ref = sdpa_attention(q, k, v, bias=bias)
+        run = flash_attention_int8(q, k, v, key_bias=bias,
+                                   block_q=128, block_k=128)
+        sta = flash_attention_int8(q, k, v, key_bias=bias,
+                                   block_q=128, block_k=128,
+                                   bound_mode="static")
+        np.testing.assert_allclose(np.asarray(sta), np.asarray(run),
+                                   rtol=2e-4, atol=2e-4)
+        rel = float(jnp.max(jnp.abs(sta - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < 0.03, rel
+
+    def test_static_offset_through_attention_dispatch(self):
+        # attention(mode="flash_int8", bound_mode="static") — the path
+        # dit.py takes when cfg.qk_norm holds — stays sdpa-accurate
+        from hunyuanvideo_efficiency_tpu.ops.attention import attention
+
+        q, k, v, bias = self._data(s=256, seed=3)
+        out = attention(q, k, v, mode="flash_int8", key_bias=bias,
+                        bound_mode="static")
+        ref = sdpa_attention(q, k, v, bias=bias)
+        rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < 0.03, rel
+
+    def test_static_offset_unaligned_bf16(self):
+        from hunyuanvideo_efficiency_tpu.ops.flash_attention import (
+            flash_attention_int8)
+
+        q, k, v, _ = self._data(s=200, txt=8, seed=4)
+        out = flash_attention_int8(
+            *(x.astype(jnp.bfloat16) for x in (q, k, v)),
+            block_q=128, block_k=128, bound_mode="static")
+        ref = sdpa_attention(q, k, v)
+        assert out.shape == ref.shape and out.dtype == jnp.bfloat16
+        rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+                    / jnp.max(jnp.abs(ref)))
+        assert rel < 0.05, rel
 
 
 class TestFlashStaticOffset:

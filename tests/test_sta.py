@@ -67,6 +67,98 @@ def test_sta_matches_masked_oracle(grid, tile, window):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("qk_int8", [False, True])
+def test_sta_static_offset_matches_oracle(qk_int8):
+    # bound_mode="static" (no running max; optional in-kernel int8 QK) must
+    # track the masked oracle; this is the path cfg.qk_norm enables
+    grid, tile, window = (3, 9, 10), (2, 4, 4), (3, 3, 3)
+    img, txt, tb = _data(grid, lt=24, seed=1)
+    got_img, got_txt = sta_joint_attention(
+        *img, *txt, tb, grid=grid, tile=tile, window=window,
+        bound_mode="static", qk_int8=qk_int8)
+    want_img, want_txt = _oracle(img, txt, tb, grid, tile, window)
+    tol = 2.5e-2 if qk_int8 else 2e-3  # int8 QK^T rounding
+    np.testing.assert_allclose(np.asarray(got_img), np.asarray(want_img),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(got_txt), np.asarray(want_txt),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_sta_int8_requires_static_bound():
+    grid = (4, 8, 8)
+    img, txt, tb = _data(grid, lt=24)
+    with pytest.raises(ValueError):
+        sta_joint_attention(*img, *txt, tb, grid=grid, tile=(2, 4, 4),
+                            window=(3, 3, 3), qk_int8=True)
+
+
+def test_sta_int8_dit_forward_dispatch():
+    # attn_mode="sta_int8" end-to-end through dit_forward: close to the
+    # attn_mode="sta" output (same sparsity, int8-rounded QK^T)
+    from hunyuanvideo_efficiency_tpu.models.dit import (dit_forward,
+                                                        init_dit_params)
+    from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+    from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
+
+    kw = dict(hidden_size=128, heads_num=4,
+              mm_double_blocks_depth=1, mm_single_blocks_depth=1,
+              rope_dim_list=(8, 12, 12), text_states_dim=64,
+              text_states_dim_2=32, sta_tile=(2, 4, 4),
+              sta_window=(3, 3, 3), sta_dense_double_blocks=0,
+              sta_dense_single_blocks=0)
+    cfg8 = DiTConfig(attn_mode="sta_int8", **kw)
+    cfg = DiTConfig(attn_mode="sta", **kw)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    x = jax.random.normal(ks[0], (1, 16, 4, 16, 12), jnp.float32)
+    t = jnp.full((1,), 500.0)
+    pe = jax.random.normal(ks[1], (1, 8, 64), jnp.float32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    pe2 = jax.random.normal(ks[2], (1, 32), jnp.float32)
+    cos, sin = get_nd_rotary_pos_embed(cfg.rope_dim_list, (4, 8, 6),
+                                       theta=cfg.rope_theta)
+    ref = dit_forward(params, x, t, pe, mask, pe2, cos, sin, cfg=cfg)
+    out = dit_forward(params, x, t, pe, mask, pe2, cos, sin, cfg=cfg8)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert err / scale < 0.05, f"sta_int8 rel err too large: {err / scale}"
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sta_head_groups_match_ungrouped():
+    # attn_head_chunks > 1 on the split img/txt (STA) path: per-head-group
+    # qkv column slices + row-sliced projections must reproduce the
+    # all-heads-at-once result exactly (same math, smaller working set —
+    # the restructure that lets 720p STA fit HBM)
+    from dataclasses import replace
+
+    from hunyuanvideo_efficiency_tpu.models.dit import (dit_forward,
+                                                        init_dit_params)
+    from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+    from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
+
+    cfg = DiTConfig(hidden_size=128, heads_num=4,
+                    mm_double_blocks_depth=1, mm_single_blocks_depth=1,
+                    rope_dim_list=(8, 12, 12), text_states_dim=64,
+                    text_states_dim_2=32, attn_mode="sta",
+                    sta_tile=(2, 4, 4), sta_window=(3, 3, 3),
+                    sta_dense_double_blocks=0, sta_dense_single_blocks=0)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    x = jax.random.normal(ks[0], (1, 16, 4, 16, 12), jnp.float32)
+    t = jnp.full((1,), 500.0)
+    pe = jax.random.normal(ks[1], (1, 8, 64), jnp.float32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    pe2 = jax.random.normal(ks[2], (1, 32), jnp.float32)
+    cos, sin = get_nd_rotary_pos_embed(cfg.rope_dim_list, (4, 8, 6),
+                                       theta=cfg.rope_theta)
+    ref = dit_forward(params, x, t, pe, mask, pe2, cos, sin, cfg=cfg)
+    out = dit_forward(params, x, t, pe, mask, pe2, cos, sin,
+                      cfg=replace(cfg, attn_head_chunks=2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_tile_plan_neighbor_counts():
     # tile grid (4, 4, 4): has interior tiles
     plan = tile_plan((8, 16, 16), (2, 4, 4), (3, 3, 3), 32)
