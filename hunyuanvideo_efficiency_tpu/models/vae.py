@@ -369,9 +369,13 @@ class AutoencoderKLCausal3D:
         self.uniform_tiles = False
         self.use_temporal_tiling = False
         self.tile_overlap_factor = cfg.tile_overlap_factor
-        # equal-shape tiles batched per dispatch; decode activations are
-        # ~1 GB/tile at full res, so keep the decode group small
-        self.encode_tile_batch = 8
+        # equal-shape tiles batched per dispatch; an encode tile is a
+        # full-res pixel block ([1, 65f, 256, 256, 3] -> ~1.1 GB per
+        # 128-ch activation plane, several planes live per conv stage), so
+        # like decode only ONE fits per dispatch on a 16 GB chip (batch 8
+        # compiled a 24.6 GB program at 544p; batch 2 compiled but
+        # runtime-exhausted HBM with the next dispatch queued)
+        self.encode_tile_batch = 1
         # one full-size decode tile's widest stage is ~4 GB of activations
         # (256ch x 65f x 256^2 + conv/norm transients); batching two made
         # big-tile decode un-compilable on a 16 GB chip
