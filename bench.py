@@ -80,14 +80,15 @@ def build_fp8_params(cfg, dtype, quant="fp8", quant_refiner=False,
     def insert(stacked, i, block):
         return jax.tree.map(lambda s, b: s.at[i].set(b), stacked, block)
 
-    def build_stack(one_fn, keys, chunks=1):
+    def build_stack(one_fn, keys, chunks=1, n_dense=0):
         """Incremental stacking with buffer donation: peak device memory is
         the final stacked tree + ONE block (13B bf16 would not fit).
 
         chunks>1 returns a LIST of stacked trees (for dit_forward_staged's
         pre-chunked param form) built directly at chunk granularity —
         re-slicing one big stack afterwards would transiently double the
-        block weights in HBM."""
+        block weights in HBM. n_dense cuts the plan at the STA dense-anchor
+        boundary (the same plan dit_forward_staged computes)."""
         from hunyuanvideo_efficiency_tpu.models.dit import _chunk_plan
 
         proto = jax.eval_shape(one_fn, keys[0])
@@ -101,7 +102,7 @@ def build_fp8_params(cfg, dtype, quant="fp8", quant_refiner=False,
 
         if chunks == 1:
             return build_range(keys)
-        plan = _chunk_plan(len(keys), chunks, 0, None)
+        plan = _chunk_plan(len(keys), chunks, n_dense, cfg)
         return [build_range(keys[s0:s0 + ln]) for (s0, ln, _) in plan]
 
     dks = jax.random.split(next(ks), cfg.mm_double_blocks_depth)
@@ -122,8 +123,10 @@ def build_fp8_params(cfg, dtype, quant="fp8", quant_refiner=False,
                                 dtype, zero=True),
             "adaLN_modulation": _lin_init(next(ks), h, 2 * h, dtype,
                                           zero=True)},
-        "double_blocks": build_stack(one_double, dks, block_chunks[0]),
-        "single_blocks": build_stack(one_single, sks, block_chunks[1]),
+        "double_blocks": build_stack(one_double, dks, block_chunks[0],
+                                     cfg.sta_dense_double_blocks),
+        "single_blocks": build_stack(one_single, sks, block_chunks[1],
+                                     cfg.sta_dense_single_blocks),
     }
     return params
 
@@ -258,8 +261,15 @@ def main():
 
     # largest-first; int8 W8A8 linears are the default compute path (fastest
     # measured). The flagship 720p config only runs staged (a monolithic
-    # step exceeds the ~60 s on-device watchdog).
+    # step exceeds the ~60 s on-device watchdog). First attempt is the
+    # sliding-tile-attention step (attn_mode=sta_int8, labeled "sta8" in the
+    # metric) — at 720p attention is ~87% of step FLOPs, and STA (arXiv
+    # 2502.04507, HunyuanVideo's own acceleration literature) is what makes
+    # the step beat the reference's dense 38.1 s; the dense-flash step is
+    # attempt 2 and recorded in PARITY.md (74.7 s, vs_baseline 0.51).
+    # STA quality evidence: scripts/sta_quality.py forward-delta proxy.
     attempts = [
+        (720, 1280, 129, ["--int8", "--sta-int8", "--staged", "4", "6"]),
         (720, 1280, 129, ["--int8", "--staged", "4", "6"]),
         (544, 960, 129, ["--int8"]),
         (544, 960, 65, ["--int8"]),

@@ -948,8 +948,27 @@ def dit_forward_staged(
 
     def plan_for(stack, n_chunks, n_dense):
         if isinstance(stack, (list, tuple)):
-            return [(s, 0, jax.tree.leaves(s)[0].shape[0], cfg)
-                    for s in stack]
+            # Pre-chunked list form. STA dense-anchor blocks are honored at
+            # chunk granularity: entries fully inside [0, n_dense) run with
+            # dense attention; the boundary must fall between entries.
+            plan, off = [], 0
+            dense = (n_dense > 0 and cfg.attn_mode.startswith("sta"))
+            for s in stack:
+                ln = jax.tree.leaves(s)[0].shape[0]
+                if dense and off < n_dense:
+                    if off + ln > n_dense:
+                        raise ValueError(
+                            f"STA dense-block boundary {n_dense} falls "
+                            f"inside a pre-chunked stack entry "
+                            f"[{off}, {off + ln}) — re-chunk so a chunk "
+                            f"edge lands on the boundary")
+                    from dataclasses import replace as _replace
+
+                    plan.append((s, 0, ln, _replace(cfg, attn_mode="auto")))
+                else:
+                    plan.append((s, 0, ln, cfg))
+                off += ln
+            return plan
         return [(stack, s0, ln, bcfg)
                 for (s0, ln, bcfg) in _chunk_plan(
                     jax.tree.leaves(stack)[0].shape[0], n_chunks,

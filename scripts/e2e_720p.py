@@ -1,0 +1,119 @@
+"""Measured single-chip E2E T2V at the reference's headline config:
+720x1280x129f, 50 denoise steps, through the public pipeline API.
+
+Reference comparison point: 1,904 s end-to-end on ONE 80 GB GPU
+(/root/reference/README.md:408-431, same resolution/frames/steps). This
+drives the identical workload on one 15.75 GB TPU v5e: 13B DiT with int8
+W8A8 linears + int4 modulation + bf16-stored refiner, sliding-tile
+attention (attn_mode=sta_int8), staged host-driven dispatch
+(scan_denoise=False, block_chunks=(4, 6)) so every on-device program stays
+under this environment's ~60 s watchdog, sequential DiT<->VAE offload, and
+uniform-tile VAE decode.
+
+Weights are random (timing, not quality): text embeddings are precomputed
+stand-ins, exactly like bench.py.
+
+Usage: timeout 5400 python scripts/e2e_720p.py [--steps 50]
+Run serially with other TPU jobs (CLAUDE.md). Emits one JSON line.
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--frames", type=int, default=129)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import build_fp8_params
+    from hunyuanvideo_efficiency_tpu.diffusion.pipeline import (
+        HunyuanVideoPipeline)
+    from hunyuanvideo_efficiency_tpu.diffusion.scheduler import (
+        FlowMatchDiscreteScheduler)
+    from hunyuanvideo_efficiency_tpu.models.dit_config import load_dit_config
+    from hunyuanvideo_efficiency_tpu.models.vae import (AutoencoderKLCausal3D,
+                                                        init_vae_params)
+    from hunyuanvideo_efficiency_tpu.models.vae_config import VAEConfig
+    from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
+
+    h, w, f = args.height, args.width, args.frames
+    dc, sc = 4, 6
+    cfg = load_dit_config("HYVideo-T/2-cfgdistill", attn_mode="sta_int8",
+                          mlp_chunk_tokens=4096, seq_pad_multiple=1024,
+                          attn_head_chunks=4)
+    t0 = time.perf_counter()
+    params = build_fp8_params(cfg, jnp.bfloat16, quant="int8",
+                              quant_refiner=True, int4_modulation=True,
+                              block_chunks=(dc, sc))
+    t_params = time.perf_counter() - t0
+    print(f"# params built in {t_params:.1f} s", file=sys.stderr)
+
+    vcfg = VAEConfig()
+    vae = AutoencoderKLCausal3D(
+        vcfg, init_vae_params(jax.random.PRNGKey(1), vcfg, jnp.bfloat16),
+        dtype=jnp.bfloat16)
+    vae.uniform_tiles = True
+
+    pipe = HunyuanVideoPipeline(
+        vae=vae, text_encoder=None, text_encoder_2=None,
+        transformer_params=params, transformer_cfg=cfg,
+        scheduler=FlowMatchDiscreteScheduler(shift=7.0, reverse=True),
+        offload_transformer=True)
+
+    t_lat, h_lat, w_lat = (f - 1) // 4 + 1, h // 8, w // 8
+    tt, th, tw = t_lat, h_lat // 2, w_lat // 2
+    freqs = get_nd_rotary_pos_embed(cfg.rope_dim_list, (tt, th, tw),
+                                    theta=cfg.rope_theta)
+    lt = 256
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    pe = jax.random.normal(ks[0], (1, lt, cfg.text_states_dim), jnp.bfloat16)
+    mask = jnp.ones((1, lt), jnp.int32)
+    pe2 = jax.random.normal(ks[1], (1, cfg.text_states_dim_2), jnp.bfloat16)
+
+    steps_done = []
+
+    def progress(i, latents):
+        steps_done.append(time.perf_counter())
+        if i < 3 or (i + 1) % 10 == 0:
+            print(f"# step {i + 1}/{args.steps} at "
+                  f"{steps_done[-1] - t1:.1f} s", file=sys.stderr)
+
+    t1 = time.perf_counter()
+    out = pipe(
+        prompt_embeds=pe, prompt_mask=mask, prompt_embeds_2=pe2,
+        height=h, width=w, video_length=f,
+        num_inference_steps=args.steps, guidance_scale=1.0,
+        embedded_guidance_scale=6.0, freqs_cis=freqs,
+        key=jax.random.PRNGKey(42), enable_tiling=True,
+        scan_denoise=False, block_chunks=(dc, sc),
+        progress_callback=progress)
+    t_total = time.perf_counter() - t1
+    t_denoise = steps_done[-1] - t1
+    vid = np.asarray(out.videos, np.float32)
+    assert vid.shape == (1, 3, f, h, w), vid.shape
+    assert np.isfinite(vid).all()
+    # steady-state step time: skip the first (compile-laden) step
+    per_step = ((steps_done[-1] - steps_done[0]) / (len(steps_done) - 1)
+                if len(steps_done) > 1 else t_denoise)
+    print(json.dumps({
+        "metric": f"E2E {w}x{h}x{f}f {args.steps}-step sta8 int8 1chip",
+        "value": round(t_total, 1), "unit": "s (incl. compiles)",
+        "denoise_s": round(t_denoise, 1),
+        "decode_s": round(t_total - t_denoise, 1),
+        "warm_s_per_step": round(per_step, 2),
+        "vs_reference_e2e_1904s": round(1904.08 / t_total, 3)}))
+
+
+if __name__ == "__main__":
+    main()

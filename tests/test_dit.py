@@ -230,6 +230,30 @@ def test_attn_head_chunks_exact():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_mlp_chunk_tokens_exact():
+    """Token-chunked MLP/modulation passes (the 67k+-token memory lever) are
+    algebraically identical to the unchunked path."""
+    from dataclasses import replace
+
+    params = init_dit_params(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((B, 4, T, H, W)), jnp.float32)
+    t = jnp.array([500.0])
+    txt = jnp.asarray(rng.standard_normal((B, TXT_LEN, 32)), jnp.float32)
+    mask = jnp.ones((B, TXT_LEN), jnp.int32)
+    txt2 = jnp.asarray(rng.standard_normal((B, 16)), jnp.float32)
+    cos, sin = get_nd_rotary_pos_embed(TINY.rope_dim_list, (TT, TH, TW),
+                                       theta=256.0)
+    g = jnp.array([6000.0])
+    ref = dit_forward(params, x, t, txt, mask, txt2, cos, sin, g, cfg=TINY)
+    # IMG_LEN = 48: chunk 16 divides, chunk 40 leaves a ragged tail
+    for chunk in (16, 40):
+        out = dit_forward(params, x, t, txt, mask, txt2, cos, sin, g,
+                          cfg=replace(TINY, mlp_chunk_tokens=chunk))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
 class TestStagedDispatch:
     """dit_forward_staged (host-chunked programs for the ~60 s on-device
     watchdog) must match the monolithic dit_forward bit-for-bit in fp32."""
@@ -294,3 +318,44 @@ class TestStagedDispatch:
         assert plan[0][2].attn_mode != "sta"
         assert all(p[2].attn_mode == "sta" for p in plan[1:])
         assert sum(p[1] for p in plan) == 20
+
+    def test_prechunked_list_sta_dense_anchors(self):
+        """Pre-chunked list params + STA dense-anchor blocks: chunk entries
+        before the boundary must run dense, matching the monolithic
+        split-scan forward; a boundary inside a chunk raises."""
+        from dataclasses import replace
+
+        from hunyuanvideo_efficiency_tpu.models.dit import (dit_forward_staged,
+                                                            rechunk_stacked)
+
+        cfg = DiTConfig(hidden_size=128, heads_num=4,
+                        mm_double_blocks_depth=2, mm_single_blocks_depth=2,
+                        rope_dim_list=(8, 12, 12), text_states_dim=64,
+                        text_states_dim_2=32, attn_mode="sta",
+                        sta_tile=(2, 4, 4), sta_window=(3, 3, 3),
+                        sta_dense_double_blocks=1,
+                        sta_dense_single_blocks=1)
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        ks = jax.random.split(jax.random.PRNGKey(2), 4)
+        x = jax.random.normal(ks[0], (1, 16, 4, 16, 12), jnp.float32)
+        t = jnp.full((1,), 500.0)
+        pe = jax.random.normal(ks[1], (1, 8, 64), jnp.float32)
+        mask = jnp.ones((1, 8), jnp.int32)
+        pe2 = jax.random.normal(ks[2], (1, 32), jnp.float32)
+        cos, sin = get_nd_rotary_pos_embed(cfg.rope_dim_list, (4, 8, 6),
+                                           theta=cfg.rope_theta)
+        ref = dit_forward(params, x, t, pe, mask, pe2, cos, sin, cfg=cfg)
+
+        chunked = dict(params)
+        chunked["double_blocks"] = rechunk_stacked(params["double_blocks"], 2)
+        chunked["single_blocks"] = rechunk_stacked(params["single_blocks"], 2)
+        out = dit_forward_staged(chunked, x, t, pe, mask, pe2, cos, sin,
+                                 cfg=cfg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        # boundary 1 inside the single list entry [0, 2) -> error
+        bad = dict(chunked)
+        bad["double_blocks"] = rechunk_stacked(params["double_blocks"], 1)
+        with pytest.raises(ValueError, match="boundary"):
+            dit_forward_staged(bad, x, t, pe, mask, pe2, cos, sin, cfg=cfg)
