@@ -190,6 +190,42 @@ def _bound_mode(cfg: DiTConfig) -> str:
     return "static" if cfg.qk_norm else "auto"
 
 
+def _analytic_score_bound(cfg: DiTConfig, d: int, norm_params):
+    """Weight-derived upper bound on |q.k|*scale after QK-norm + RoPE.
+
+    For RMSNorm, ||norm(x)*g|| <= sqrt(d)*max|g| for every token (the
+    normalized row has L2 norm <= sqrt(d)); LayerNorm adds the bias L2
+    norm. RoPE rotates disjoint 2-D pairs, preserving row norms exactly.
+    So C = max_q_bound * max_k_bound / sqrt(d) bounds every score without
+    reading q/k — replacing the per-layer Cauchy-Schwarz reduction (a full
+    HBM pass over q AND k, ~25 ms/layer at 720p) with O(d) work on the
+    norm weights. 1.02 covers bf16 rounding of the normalized rows; the
+    static flash kernel only needs C within ~88 of the true row max, so
+    the cap at 60 is safe for any realistic gamma.
+
+    norm_params: list of (p_q, p_k) norm-param dicts whose q/k feed one
+    joint attention (img and txt towers). Returns scalar f32, or None when
+    qk_norm is off (callers then fall back to the numeric bound)."""
+    if not cfg.qk_norm:
+        return None
+
+    def row_bound(pp):
+        g = pp.get("scale") if isinstance(pp, dict) else None
+        gb = (jnp.max(jnp.abs(g.astype(jnp.float32)))
+              if g is not None else jnp.float32(1.0))
+        bound = (d ** 0.5) * gb
+        if cfg.qk_norm_type != "rms":
+            bias = pp.get("bias") if isinstance(pp, dict) else None
+            if bias is not None:
+                bound = bound + jnp.sqrt(
+                    jnp.sum(jnp.square(bias.astype(jnp.float32))))
+        return bound
+
+    qb = jnp.max(jnp.stack([row_bound(pq) for pq, _ in norm_params]))
+    kb = jnp.max(jnp.stack([row_bound(pk) for _, pk in norm_params]))
+    return jnp.minimum(qb * kb * (d ** -0.5) * 1.02, 60.0)
+
+
 def _qk_norm(p_q, p_k, q, k, cfg: DiTConfig, chunk=None):
     """QK norm, optionally token-chunked: the norm's fp32 intermediates at
     full length are 2 x [L, H, D] f32 = 2.7 GB at 720p (118.8k tokens) —
@@ -348,6 +384,9 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
     # mechanisms are mutually exclusive.
     split_groups = (cfg.attn_head_chunks > 1 and not joint_rope
                     and not cfg.ulysses_axis and not cfg.ring_axis)
+    sbound = _analytic_score_bound(
+        cfg, d, [(p["img_attn_q_norm"], p["img_attn_k_norm"]),
+                 (p["txt_attn_q_norm"], p["txt_attn_k_norm"])])
     if not (joint_rope and cfg.attn_head_chunks > 1) and not split_groups:
         img_q, img_k, img_v = _qkv_proj(p["img_attn_qkv"], img_m, heads, d)
         img_q, img_k = _qk_norm_rope(p["img_attn_q_norm"],
@@ -400,7 +439,8 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
             k = jnp.concatenate([ik, tk], axis=1)
             v = jnp.concatenate([iv, tv], axis=1)
             attn = attention(q, k, v, mode=cfg.attn_mode,
-                             key_bias=key_bias, bound_mode=_bound_mode(cfg))
+                             key_bias=key_bias, bound_mode=_bound_mode(cfg),
+                             score_bound=sbound)
             o, e = g * hg * d, (g + 1) * hg * d
             io = linear(_row_slice(p["img_attn_proj"], o, e,
                                    keep_bias=(g == 0)), attn[:, :img_len])
@@ -436,7 +476,7 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
                 iq, ik, iv, tq, tk, tv, txt_bias,
                 mode=cfg.attn_mode, token_grid=token_grid,
                 sta_tile=cfg.sta_tile, sta_window=cfg.sta_window,
-                bound_mode=_bound_mode(cfg))
+                bound_mode=_bound_mode(cfg), score_bound=sbound)
             o, e = g * hg * d, (g + 1) * hg * d
             io = linear(_row_slice(p["img_attn_proj"], o, e,
                                    keep_bias=(g == 0)), ia)
@@ -451,7 +491,7 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
             mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
             ring_axis=cfg.ring_axis, token_grid=token_grid,
             sta_tile=cfg.sta_tile, sta_window=cfg.sta_window,
-            bound_mode=_bound_mode(cfg))
+            bound_mode=_bound_mode(cfg), score_bound=sbound)
         img_po = linear(p["img_attn_proj"], img_attn)
         txt_po = linear(p["txt_attn_proj"], txt_attn)
 
@@ -512,6 +552,7 @@ def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
     x_mod = modulate(layer_norm(x), shift, scale)
     h3 = 3 * cfg.hidden_size
     p_qkv = _col_slice(p["linear1"], 0, h3)
+    sbound = _analytic_score_bound(cfg, d, [(p["q_norm"], p["k_norm"])])
     joint_rope = (freqs_cis is not None and freqs_cis[0].shape[0] == l)
     if joint_rope:
         # dit_forward extended the RoPE table with identity rows (cos=1,
@@ -542,7 +583,8 @@ def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
             qg, kg = _qk_norm_rope(p["q_norm"], p["k_norm"], qg, kg, cfg,
                                    freqs_cis, chunk=cfg.mlp_chunk_tokens)
             attn = attention(qg, kg, vg, mode=cfg.attn_mode,
-                             key_bias=key_bias, bound_mode=_bound_mode(cfg))
+                             key_bias=key_bias, bound_mode=_bound_mode(cfg),
+                             score_bound=sbound)
             og = linear(_row_slice(p["linear2"], g * hg * d,
                                    (g + 1) * hg * d, keep_bias=(g == 0)),
                         attn)
@@ -568,7 +610,7 @@ def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
                 iq, ik, iv, tq, tk, tv, txt_bias,
                 mode=cfg.attn_mode, token_grid=token_grid,
                 sta_tile=cfg.sta_tile, sta_window=cfg.sta_window,
-                bound_mode=_bound_mode(cfg))
+                bound_mode=_bound_mode(cfg), score_bound=sbound)
             attn = jnp.concatenate([ia, ta], axis=1)
             og = linear(_row_slice(p["linear2"], g * hg * d,
                                    (g + 1) * hg * d, keep_bias=(g == 0)),
@@ -590,7 +632,7 @@ def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
             mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
             ring_axis=cfg.ring_axis, token_grid=token_grid,
             sta_tile=cfg.sta_tile, sta_window=cfg.sta_window,
-            bound_mode=_bound_mode(cfg))
+            bound_mode=_bound_mode(cfg), score_bound=sbound)
         attn = jnp.concatenate([img_attn, txt_attn], axis=1)
         out = linear(_row_slice(p["linear2"], 0, cfg.hidden_size,
                                 keep_bias=True), attn)

@@ -195,6 +195,7 @@ def joint_attention(
     sta_tile=(4, 8, 8),
     sta_window=(3, 3, 3),
     bound_mode: str = "auto",
+    score_bound: Optional[jnp.ndarray] = None,
 ):
     """Joint attention over [img | txt] tokens; returns (img_out, txt_out)
     each [B, S, H*D].
@@ -223,14 +224,14 @@ def joint_attention(
             img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
             grid=tuple(token_grid), tile=tuple(sta_tile),
             window=tuple(sta_window), scale=scale, bound_mode=bound_mode,
-            qk_int8=(mode == "sta_int8"))
+            qk_int8=(mode == "sta_int8"), score_bound=score_bound)
     if ulysses_axis or ring_axis:
         from ..parallel.sp_attention import usp_joint_attention
 
         return usp_joint_attention(
             img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
             ulysses_axis=ulysses_axis, ring_axis=ring_axis, scale=scale,
-            attn_mode=mode, bound_mode=bound_mode)
+            attn_mode=mode, bound_mode=bound_mode, score_bound=score_bound)
     img_len = img_q.shape[1]
     q = jnp.concatenate([img_q, txt_q], axis=1)
     k = jnp.concatenate([img_k, txt_k], axis=1)
@@ -243,7 +244,7 @@ def joint_attention(
     else:
         key_bias = None
     out = attention(q, k, v, mode=mode, key_bias=key_bias, scale=scale,
-                    bound_mode=bound_mode)
+                    bound_mode=bound_mode, score_bound=score_bound)
     return out[:, :img_len], out[:, img_len:]
 
 
@@ -256,6 +257,7 @@ def attention(
     key_bias: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     bound_mode: str = "auto",
+    score_bound: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dispatch: 'sdpa' (full-matrix), 'chunked' (online softmax), 'flash'
     (Pallas TPU kernel), or 'auto' (pick by sequence length / backend).
@@ -283,8 +285,8 @@ def attention(
         from .flash_backward import flash_attention_vjp
 
         # custom_vjp functions take positional args only
-        return flash_attention_vjp(q, k, v, key_bias, scale, 1024, 2048,
-                                   bound_mode)
+        return flash_attention_vjp(q, k, v, key_bias, score_bound, scale,
+                                   1024, 2048, bound_mode)
     if mode == "flash_int8":
         # int8-QK SageAttention-style kernel (inference only: no VJP).
         # bound_mode "static" (QK-norm models) also drops the running max,
@@ -294,5 +296,6 @@ def attention(
 
         return flash_attention_int8(
             q, k, v, key_bias=key_bias, scale=scale,
-            bound_mode="static" if bound_mode == "static" else "running")
+            bound_mode="static" if bound_mode == "static" else "running",
+            score_bound=score_bound)
     raise NotImplementedError(f"Unsupported attention mode: {mode}")

@@ -270,8 +270,16 @@ def flash_attention(
     block_q: int = 1024,
     block_k: int = 2048,
     bound_mode: str = "auto",
+    score_bound: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Flash attention; q/k/v [B, S, H, D] -> [B, Sq, H*D].
+
+    score_bound: optional precomputed upper bound on |q.k|*scale
+    (broadcastable to [B, H], e.g. the analytic QK-RMSNorm bound
+    sqrt(d)*max|g_q|*max|g_k| — RoPE preserves row norms). When given, the
+    per-step Cauchy-Schwarz reduction over q/k (a full HBM read of both)
+    is skipped. The static kernel only needs C within ~88 of the true row
+    max (fp32 exp range), so a weight-derived bound is always safe.
 
     key_bias: [B, 1, 1, Sk] additive bias (0 for valid keys, -inf for
     padding), as produced by `padding_key_bias`. Bias entries must be <= 0
@@ -323,10 +331,14 @@ def flash_attention(
         kb = jnp.pad(kb, ((0, 0), (0, sk_p - sk)), constant_values=NEG_INF)
     kb = jnp.broadcast_to(kb[:, None, :], (b, 8, sk_p))
 
-    # Per-(batch, head) score bound via row norms (one fused pass each).
-    qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
-    kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
-    c = jnp.max(qn, axis=1) * jnp.max(kn, axis=1) * scale  # [B, H]
+    if score_bound is not None:
+        c = jnp.broadcast_to(
+            jnp.asarray(score_bound, jnp.float32), (b, hh))
+    else:
+        # Per-(batch, head) score bound via row norms (one fused pass each).
+        qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
+        kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
+        c = jnp.max(qn, axis=1) * jnp.max(kn, axis=1) * scale  # [B, H]
 
     if bound_mode == "static":
         out = _flash_nomax_packed(qp, kp, vp, kb, c, hh, float(scale),
@@ -600,9 +612,16 @@ def flash_attention_int8(
     block_k: int = 2048,
     smooth_k: bool = True,
     bound_mode: str = "running",
+    score_bound: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Flash attention with int8-quantized QK^T; q/k/v [B, S, H, D] ->
     [B, Sq, H*D].
+
+    score_bound: optional precomputed bound on |q.k|*scale before key
+    smoothing (see flash_attention); inflated internally for int8 rounding.
+    Key smoothing typically *shrinks* key norms, and the static kernel
+    tolerates a bound that is low by up to ~88 (fp32 exp range), so the
+    un-smoothed analytic bound remains safe.
 
     SageAttention-style (arXiv 2410.02367) opt-in speed/quality trade,
     beyond the reference (whose fp8 mode is weight-storage only):
@@ -656,12 +675,18 @@ def flash_attention_int8(
     kb = jnp.broadcast_to(kb[:, None, :], (b, 8, sk_p))
 
     if bound_mode == "static":
-        # Cauchy-Schwarz bound on the (smoothed) q/k, inflated for int8
-        # rounding error (see docstring).
-        qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
-        kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
         infl = (1.0 + d ** 0.5 / 254.0) ** 2
-        c = jnp.max(qn, axis=1) * jnp.max(kn, axis=1) * scale_f * infl
+        if score_bound is not None:
+            c = jnp.broadcast_to(
+                jnp.asarray(score_bound, jnp.float32), (b, hh)) * infl
+        else:
+            # Cauchy-Schwarz bound on the (smoothed) q/k, inflated for int8
+            # rounding error (see docstring).
+            qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)),
+                                  axis=-1))
+            kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)),
+                                  axis=-1))
+            c = jnp.max(qn, axis=1) * jnp.max(kn, axis=1) * scale_f * infl
         out = _flash_int8_nomax_packed(qp, kp, vp, kb, c, hh, float(scale_f),
                                        block_q, block_k, interpret)
     else:

@@ -282,9 +282,9 @@ def _prep(q, k, v, key_bias, block_q, block_k):
     return qp, kp, vp, kb, block_q, block_k, sq_p, sk_p
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def flash_attention_vjp(q, k, v, key_bias, scale=None, block_q=1024,
-                        block_k=2048, bound_mode="auto"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def flash_attention_vjp(q, k, v, key_bias, score_bound=None, scale=None,
+                        block_q=1024, block_k=2048, bound_mode="auto"):
     """Differentiable flash attention; q/k/v [B, S, H, D] -> [B, Sq, H*D].
 
     The primal (inference) path runs the LSE-free kernel — writing the
@@ -298,10 +298,11 @@ def flash_attention_vjp(q, k, v, key_bias, scale=None, block_q=1024,
     from .flash_attention import flash_attention
 
     return flash_attention(q, k, v, key_bias, scale, block_q, block_k,
-                           bound_mode)
+                           bound_mode, score_bound)
 
 
-def _fwd_rule(q, k, v, key_bias, scale, block_q, block_k, bound_mode):
+def _fwd_rule(q, k, v, key_bias, score_bound, scale, block_q, block_k,
+              bound_mode):
     b, sq, hh, d = q.shape
     sc = scale if scale is not None else d ** -0.5
     interpret = jax.default_backend() != "tpu"
@@ -343,7 +344,7 @@ def _bwd_rule(scale, block_q, block_k, bound_mode, res, g):
     dq = dq[:, :sq].reshape(b, sq, hh, d).astype(q.dtype)
     dk = dk[:, :sk].reshape(b, sk, hh, d).astype(k.dtype)
     dv = dv[:, :sk].reshape(b, sk, hh, d).astype(v.dtype)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 flash_attention_vjp.defvjp(_fwd_rule, _bwd_rule)

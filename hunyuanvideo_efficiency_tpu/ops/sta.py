@@ -87,28 +87,39 @@ def tile_plan(grid: Tuple[int, int, int], tile: Tuple[int, int, int],
     return {
         "perm": perm, "inv_perm": inv_perm, "nbr": nbr,
         "n_tiles": n_tiles, "tokens_per_tile": tokens_per_tile,
-        "padded_grid": (tp, hp, wp), "n_slots": n_slots,
+        "padded_grid": (tp, hp, wp), "n_slots": n_slots, "tile": tile,
     }
 
 
 def _permute_tokens(x, grid, tile, plan):
-    """[B, S_img, H, D] row-major -> [B, S_pad, H, D] tile-major."""
+    """[B, S_img, H, D] row-major -> [B, S_pad, H, D] tile-major.
+
+    Expressed as pad + reshape + transpose (the tiling permutation is
+    regular) — an XLA gather over the precomputed `perm` index ran at
+    ~95 GB/s on v5e while the transpose form runs near HBM bandwidth."""
     b, s, hh, d = x.shape
     tp, hp, wp = plan["padded_grid"]
     t, h, w = grid
+    tt, th, tw = tile
     xg = x.reshape(b, t, h, w, hh * d)
     xg = jnp.pad(xg, ((0, 0), (0, tp - t), (0, hp - h), (0, wp - w), (0, 0)))
-    flat = xg.reshape(b, tp * hp * wp, hh * d)
-    return flat[:, plan["perm"]]
+    xg = xg.reshape(b, tp // tt, tt, hp // th, th, wp // tw, tw, hh * d)
+    xg = xg.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return xg.reshape(b, tp * hp * wp, hh * d)
 
 
-def _unpermute_tokens(y, grid, plan):
-    """[B, S_pad, HD] tile-major -> [B, S_img, HD] row-major."""
+def _unpermute_tokens(y, grid, plan, tile=None):
+    """[B, S_pad, HD] tile-major -> [B, S_img, HD] row-major (inverse
+    transpose of _permute_tokens)."""
     b, sp, hd = y.shape
     tp, hp, wp = plan["padded_grid"]
     t, h, w = grid
-    flat = y[:, plan["inv_perm"]]
-    xg = flat.reshape(b, tp, hp, wp, hd)
+    if tile is None:
+        tile = plan["tile"]
+    tt, th, tw = tile
+    yg = y.reshape(b, tp // tt, hp // th, wp // tw, tt, th, tw, hd)
+    yg = yg.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    xg = yg.reshape(b, tp, hp, wp, hd)
     return xg[:, :t, :h, :w].reshape(b, t * h * w, hd)
 
 
@@ -249,19 +260,107 @@ def _sta_nomax_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
+def _sta_nomax_fused_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
+                            n_groups: int, slot_block: int, head_block: int,
+                            d: int, quant: bool):
+    """Wide-exp variant of _sta_nomax_kernel (same grid/ref layout).
+
+    The per-slot `pl.when`-guarded fold produces a serial
+    QK-dot -> exp -> PV-dot chain per (slot, head) on tiny [tile, tile]
+    blocks, leaving both the MXU and the VPU mostly idle (measured
+    ~57 TFLOP/s vs 167 for dense flash). Here every slot's QK dot runs
+    unconditionally (border slots cost ~21% extra dots but their scores are
+    killed by a scalar -inf mask read from the neighbor table), the exp/sum
+    runs ONCE over the [tile, slot_block*tile] concatenated scores, and the
+    PV dots accumulate afterwards — fewer, wider VPU ops and back-to-back
+    independent MXU dots. `quant` quantizes q once per head (not per
+    slot-fold) and each key tile once."""
+    kb_refs = refs[:slot_block]
+    q_ref = refs[slot_block]
+    k_refs = refs[slot_block + 1:2 * slot_block + 1]
+    v_refs = refs[2 * slot_block + 1:3 * slot_block + 1]
+    o_ref = refs[3 * slot_block + 1]
+    l_scr, acc_scr = refs[3 * slot_block + 2:]
+
+    bi = pl.program_id(0)
+    hg = pl.program_id(1)
+    qi = pl.program_id(2)
+    g = pl.program_id(3)
+
+    @pl.when(g == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # bias row for the whole slot group: key bias ++ scalar slot mask
+    kbias = jnp.concatenate(
+        [kb_refs[i][0, 0:1, :]
+         + jnp.where(nbr_ref[qi, g * slot_block + i] >= 0, 0.0, NEG_INF)
+         for i in range(slot_block)], axis=-1)
+
+    for h in range(head_block):
+        cs = slice(h * d, (h + 1) * d)
+        c = c_ref[bi, hg * head_block + h]
+        if quant:
+            qf = q_ref[0][:, cs].astype(jnp.float32)
+            sq = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-6) / 127.0
+            q8 = jnp.round(qf * (1.0 / sq)).astype(jnp.int8)
+            parts = []
+            for i in range(slot_block):
+                kf = k_refs[i][0][:, cs].astype(jnp.float32)
+                sk = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-6) / 127.0
+                k8 = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
+                s32 = jax.lax.dot_general(
+                    q8, k8, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                parts.append(s32.astype(jnp.float32) * (sq * sk * scale))
+            s = jnp.concatenate(parts, axis=-1)
+        else:
+            s = jnp.concatenate(
+                [jax.lax.dot_general(
+                    q_ref[0][:, cs], k_refs[i][0][:, cs],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                 for i in range(slot_block)], axis=-1) * scale
+        p = jnp.exp(s + (kbias - c))
+        l_scr[:, h:h + 1] = (l_scr[:, h:h + 1]
+                             + jnp.sum(p, -1, keepdims=True))
+        blk = p.shape[-1] // slot_block
+        pv = None
+        for i in range(slot_block):
+            pvi = jax.lax.dot_general(
+                p[:, i * blk:(i + 1) * blk].astype(v_refs[i].dtype),
+                v_refs[i][0][:, cs], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            pv = pvi if pv is None else pv + pvi
+        acc_scr[:, cs] = acc_scr[:, cs] + pv
+
+    @pl.when(g == n_groups - 1)
+    def _finish():
+        denom = jnp.concatenate(
+            [jnp.broadcast_to(jnp.maximum(l_scr[:, h:h + 1], 1e-37),
+                              (l_scr.shape[0], d))
+             for h in range(head_block)], axis=1)
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("heads", "scale", "block", "n_slots",
-                              "interpret", "quant"))
+                              "interpret", "quant", "slot_block",
+                              "head_block", "fused"))
 def _sta_call_nomax(nbr, kb, q, kcat, vcat, c, heads, scale, block, n_slots,
-                    interpret, quant):
+                    interpret, quant, slot_block=None, head_block=None,
+                    fused=True):
     """Static-offset variant of _sta_call; c [B, H] f32 score bounds ride
     SMEM via scalar prefetch (inflated by the caller when quant=True)."""
     b, sq, hd = q.shape
     d = hd // heads
     n_tiles = sq // block
 
-    head_block = next(hb for hb in (8, 6, 4, 3, 2, 1) if heads % hb == 0)
-    slot_block = 4
+    if head_block is None:
+        head_block = next(hb for hb in (8, 6, 4, 3, 2, 1) if heads % hb == 0)
+    if slot_block is None:
+        slot_block = 4
     n_groups = _ceil(n_slots, slot_block)
     if n_slots % slot_block:
         pad = n_groups * slot_block - n_slots
@@ -287,8 +386,9 @@ def _sta_call_nomax(nbr, kb, q, kcat, vcat, c, heads, scale, block, n_slots,
         (1, block, hb_d),
         lambda bi, hi, qi, g, nbr_s, dma_s, c_s: (bi, qi, hi))
 
+    body = _sta_nomax_fused_kernel if fused else _sta_nomax_kernel
     out = pl.pallas_call(
-        functools.partial(_sta_nomax_kernel, scale=scale, n_groups=n_groups,
+        functools.partial(body, scale=scale, n_groups=n_groups,
                           slot_block=slot_block, head_block=head_block, d=d,
                           quant=quant),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -309,7 +409,8 @@ def _sta_call_nomax(nbr, kb, q, kcat, vcat, c, heads, scale, block, n_slots,
         out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(nbr, nbr_dma, c, *([kb] * slot_block), q,
       *([kcat] * slot_block), *([vcat] * slot_block))
@@ -318,9 +419,9 @@ def _sta_call_nomax(nbr, kb, q, kcat, vcat, c, heads, scale, block, n_slots,
 
 @functools.partial(
     jax.jit, static_argnames=("heads", "scale", "block", "n_slots",
-                              "interpret"))
+                              "interpret", "slot_block", "head_block"))
 def _sta_call(nbr, kb, q, kcat, vcat, heads, scale, block, n_slots,
-              interpret):
+              interpret, slot_block=None, head_block=None):
     """q [B, S_img_pad, HD] tile-major; kcat/vcat [B, S_img_pad + S_txt_pad,
     HD] (img tile-major ++ txt); kb [B, 8, S_cat] key bias; nbr int32
     [n_tiles, n_slots] block indices (-1 skip)."""
@@ -329,8 +430,10 @@ def _sta_call(nbr, kb, q, kcat, vcat, heads, scale, block, n_slots,
     n_tiles = sq // block
 
     # head grouping: whole-number of head-groups (24 = 3 x 8 for the 13B)
-    head_block = next(hb for hb in (8, 6, 4, 3, 2, 1) if heads % hb == 0)
-    slot_block = 4
+    if head_block is None:
+        head_block = next(hb for hb in (8, 6, 4, 3, 2, 1) if heads % hb == 0)
+    if slot_block is None:
+        slot_block = 4
     n_groups = _ceil(n_slots, slot_block)
     if n_slots % slot_block:
         pad = n_groups * slot_block - n_slots
@@ -379,7 +482,8 @@ def _sta_call(nbr, kb, q, kcat, vcat, heads, scale, block, n_slots,
         out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(nbr, nbr_dma, *([kb] * slot_block), q,
       *([kcat] * slot_block), *([vcat] * slot_block))
@@ -400,8 +504,18 @@ def sta_joint_attention(
     scale: Optional[float] = None,
     bound_mode: str = "auto",
     qk_int8: bool = False,
+    slot_block: Optional[int] = None,
+    head_block: Optional[int] = None,
+    fused: bool = True,
+    score_bound: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """STA for img queries + dense flash for txt queries.
+
+    score_bound: optional precomputed upper bound on |q.k|*scale
+    (broadcastable to [B, H]; see ops/flash_attention.flash_attention).
+    Skips the per-step Cauchy-Schwarz norm reduction (a full extra HBM
+    read of q/k per layer) when the caller derives the bound from the
+    QK-RMSNorm weights.
 
     Returns (img_out [B, S_img, H*D], txt_out [B, Lt, H*D]).
 
@@ -423,6 +537,12 @@ def sta_joint_attention(
 
     block = tile[0] * tile[1] * tile[2]
     assert block % 8 == 0, "tile token count must be a multiple of 8"
+    if not interpret and block % 128 != 0:
+        raise ValueError(
+            f"STA tile {tile} has {block} tokens; the TPU kernel needs a "
+            "multiple of 128 (Pallas lane-dim constraint). Production "
+            "tiles (4, 8, 8) = 256 satisfy this; CPU interpret mode "
+            "accepts any multiple of 8.")
     txt_pad = _ceil(lt, block) * block
     plan = tile_plan(tuple(grid), tuple(tile), tuple(window), txt_pad)
     nbr = jnp.asarray(plan["nbr"])
@@ -457,39 +577,57 @@ def sta_joint_attention(
     kb = jnp.broadcast_to(kb[:, None, :], (b, 8, kb.shape[1]))
 
     if bound_mode == "static":
-        # per-(batch, head) Cauchy-Schwarz score bound over img queries vs
-        # ALL keys (img + txt); computed on the un-permuted tensors (the
-        # permutation only reorders rows)
-        qn = jnp.max(jnp.sqrt(jnp.sum(
-            jnp.square(img_q.astype(jnp.float32)), axis=-1)), axis=1)
-        kn = jnp.maximum(
-            jnp.max(jnp.sqrt(jnp.sum(
-                jnp.square(img_k.astype(jnp.float32)), axis=-1)), axis=1),
-            jnp.max(jnp.sqrt(jnp.sum(
-                jnp.square(txt_k.astype(jnp.float32)), axis=-1)), axis=1))
         infl = (1.0 + d ** 0.5 / 254.0) ** 2 if qk_int8 else 1.0
-        c = qn * kn * scale * infl  # [B, H]
+        if score_bound is not None:
+            c = jnp.broadcast_to(
+                jnp.asarray(score_bound, jnp.float32), (b, hh)) * infl
+        else:
+            # per-(batch, head) Cauchy-Schwarz score bound over img queries
+            # vs ALL keys (img + txt); computed on the un-permuted tensors
+            # (the permutation only reorders rows)
+            qn = jnp.max(jnp.sqrt(jnp.sum(
+                jnp.square(img_q.astype(jnp.float32)), axis=-1)), axis=1)
+            kn = jnp.maximum(
+                jnp.max(jnp.sqrt(jnp.sum(
+                    jnp.square(img_k.astype(jnp.float32)), axis=-1)),
+                    axis=1),
+                jnp.max(jnp.sqrt(jnp.sum(
+                    jnp.square(txt_k.astype(jnp.float32)), axis=-1)),
+                    axis=1))
+            c = qn * kn * scale * infl  # [B, H]
         img_out_p = _sta_call_nomax(nbr, kb, qp, kcat, vcat, c, hh,
                                     float(scale), block, n_slots, interpret,
-                                    qk_int8)
+                                    qk_int8, slot_block=slot_block,
+                                    head_block=head_block, fused=fused)
     else:
         img_out_p = _sta_call(nbr, kb, qp, kcat, vcat, hh, float(scale),
-                              block, n_slots, interpret)
+                              block, n_slots, interpret,
+                              slot_block=slot_block, head_block=head_block)
     img_out = _unpermute_tokens(img_out_p, grid, plan)
 
-    # Text queries: FULL attention over [img | txt] (row-major keys), via
-    # the chunked online-softmax path — a dense sdpa here materializes
-    # fp32 scores [B, H, Lt, S_img+Lt] (~1.6 GB at 544p), which pushed the
-    # 13B int8 step past the 15.75 GB HBM limit; chunked keeps the live
-    # set at O(Lt * k_chunk) with the txt query count tiny.
-    full_kb = jnp.concatenate(
-        [jnp.zeros((b, 1, 1, s_img), jnp.float32),
-         txt_bias.astype(jnp.float32) if txt_bias is not None
-         else jnp.zeros((b, 1, 1, lt), jnp.float32)], axis=-1)
-    k_all = jnp.concatenate([img_k, txt_k], axis=1)
-    v_all = jnp.concatenate([img_v, txt_v], axis=1)
-    txt_out = attention(txt_q, k_all, v_all, mode="chunked",
-                        key_bias=full_kb, scale=scale)
+    # Text queries: FULL attention over [img | txt]. Reuse the tile-major
+    # kcat/vcat already materialized for the STA kernel (full attention is
+    # key-order invariant; kb masks the tile-padding and txt-padding keys)
+    # — the previous chunked path re-concatenated row-major k/v (2 extra
+    # ~700 MB copies at 720p) and ran ~40 ms/layer vs ~6 ms for flash.
+    if interpret:
+        # CPU tests: the chunked online-softmax path (no Pallas).
+        full_kb = jnp.concatenate(
+            [jnp.zeros((b, 1, 1, s_img), jnp.float32),
+             txt_bias.astype(jnp.float32) if txt_bias is not None
+             else jnp.zeros((b, 1, 1, lt), jnp.float32)], axis=-1)
+        k_all = jnp.concatenate([img_k, txt_k], axis=1)
+        v_all = jnp.concatenate([img_v, txt_v], axis=1)
+        txt_out = attention(txt_q, k_all, v_all, mode="chunked",
+                            key_bias=full_kb, scale=scale)
+        return img_out, txt_out
+    from .flash_attention import flash_attention
+    s_cat = kcat.shape[1]
+    txt_out = flash_attention(
+        txt_q, kcat.reshape(b, s_cat, hh, d), vcat.reshape(b, s_cat, hh, d),
+        key_bias=kb[:, 0][:, None, None, :], scale=scale,
+        bound_mode="static" if bound_mode == "static" else "auto",
+        score_bound=(c if bound_mode == "static" else None))
     return img_out, txt_out
 
 

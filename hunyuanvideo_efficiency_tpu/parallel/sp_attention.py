@@ -115,6 +115,7 @@ def usp_joint_attention(
     scale: Optional[float] = None,
     attn_mode: str = "auto",
     bound_mode: str = "auto",
+    score_bound: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (img_out [B, S_loc, H*D] seq-sharded, txt_out [B, Lt, H*D]
     replicated). Must run inside shard_map with the given axis names.
@@ -152,7 +153,8 @@ def usp_joint_attention(
 
         img_out, txt_out = joint_attention(
             img_q, img_k, img_v, txt_q_l, txt_k_l, txt_v_l, txt_bias,
-            mode=attn_mode, scale=scale, bound_mode=bound_mode)
+            mode=attn_mode, scale=scale, bound_mode=bound_mode,
+            score_bound=score_bound)
         if u > 1:
             img_out = img_out.reshape(b, s_r, hl, d)
             img_out = lax.all_to_all(img_out, axis_name=ulysses_axis,

@@ -28,7 +28,7 @@ class TestFlashVJP:
     ])
     def test_forward_matches_sdpa(self, s, bq, bk):
         q, k, v, bias = _data(s=s)
-        out = flash_attention_vjp(q, k, v, bias, None, bq, bk)
+        out = flash_attention_vjp(q, k, v, bias, None, None, bq, bk)
         ref = sdpa_attention(q, k, v, bias=bias)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-3, atol=2e-3)
@@ -38,7 +38,7 @@ class TestFlashVJP:
         q, k, v, bias = _data(s=s)
 
         def loss_flash(q, k, v):
-            o = flash_attention_vjp(q, k, v, bias, None, 128, 128)
+            o = flash_attention_vjp(q, k, v, bias, None, None, 128, 128)
             return jnp.sum(jnp.sin(o) * 0.1)
 
         def loss_ref(q, k, v):
@@ -57,7 +57,7 @@ class TestFlashVJP:
 
         def f(q, k, v):
             return jnp.sum(flash_attention_vjp(q, k, v, None, None,
-                                               128, 128) ** 2)
+                                               None, 128, 128) ** 2)
 
         def f_ref(q, k, v):
             return jnp.sum(sdpa_attention(q, k, v) ** 2)

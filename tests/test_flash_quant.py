@@ -387,14 +387,57 @@ class TestFlashStaticOffset:
         key = jax.random.PRNGKey(6)
         q, k, v = [jax.random.normal(kk, (1, 256, 2, 128))
                    for kk in jax.random.split(key, 3)]
-        out = flash_attention_vjp(q, k, v, None, None, 128, 128, "static")
+        out = flash_attention_vjp(q, k, v, None, None, None, 128, 128, "static")
         ref = sdpa_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-3, atol=2e-3)
 
         def loss(q):
             return jnp.sum(
-                flash_attention_vjp(q, k, v, None, None, 128, 128, "static"))
+                flash_attention_vjp(q, k, v, None, None, None, 128, 128, "static"))
 
         g = jax.grad(loss)(q)
         assert np.isfinite(np.asarray(g)).all()
+
+    def test_analytic_score_bound_valid_and_equivalent(self):
+        # the weight-derived bound (models/dit._analytic_score_bound) must
+        # (a) upper-bound every |q.k|*scale after QK-RMSNorm + RoPE and
+        # (b) produce identical flash output to the numeric bound
+        from hunyuanvideo_efficiency_tpu.models.dit import (
+            _analytic_score_bound)
+        from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+        from hunyuanvideo_efficiency_tpu.ops.norms import rms_norm
+        from hunyuanvideo_efficiency_tpu.ops.rope import (
+            apply_rotary_emb, get_nd_rotary_pos_embed)
+
+        cfg = DiTConfig(qk_norm=True, qk_norm_type="rms")
+        d, h, s = 64, 2, 128
+        key = jax.random.PRNGKey(7)
+        ks = jax.random.split(key, 4)
+        q = jax.random.normal(ks[0], (1, s, h, d)) * 3.0
+        k = jax.random.normal(ks[1], (1, s, h, d)) * 3.0
+        gq = {"scale": 1.0 + 0.5 * jax.random.normal(ks[2], (d,))}
+        gk = {"scale": 1.0 + 0.5 * jax.random.normal(ks[3], (d,))}
+        qn = rms_norm(q, gq["scale"])
+        kn = rms_norm(k, gk["scale"])
+        freqs = get_nd_rotary_pos_embed([d], [s], theta=256.0)
+        qr, kr = apply_rotary_emb(qn, kn, freqs)
+
+        bound = _analytic_score_bound(cfg, d, [(gq, gk)])
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qr.astype(jnp.float32),
+                            kr.astype(jnp.float32)) * (d ** -0.5)
+        assert float(jnp.max(jnp.abs(scores))) <= float(bound)
+
+        out_b = flash_attention(qr, kr, v := kr, block_q=128, block_k=128,
+                                bound_mode="static", score_bound=bound)
+        out_n = flash_attention(qr, kr, v, block_q=128, block_k=128,
+                                bound_mode="static")
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_n),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_score_bound_none_when_qk_norm_off(self):
+        from hunyuanvideo_efficiency_tpu.models.dit import (
+            _analytic_score_bound)
+        from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+
+        assert _analytic_score_bound(DiTConfig(qk_norm=False), 64, []) is None
