@@ -262,14 +262,16 @@ def main():
     # largest-first; int8 W8A8 linears are the default compute path (fastest
     # measured). The flagship 720p config only runs staged (a monolithic
     # step exceeds the ~60 s on-device watchdog). First attempt is the
-    # sliding-tile-attention step (attn_mode=sta_int8, labeled "sta8" in the
-    # metric) — at 720p attention is ~87% of step FLOPs, and STA (arXiv
+    # sliding-tile-attention step (attn_mode=sta; the in-kernel int8-QK
+    # variant re-quantizes per fold and measured 11 ms/layer SLOWER than
+    # bf16 once the kernel went wide, so bf16 STA is the default)
+    # — at 720p attention is ~87% of step FLOPs, and STA (arXiv
     # 2502.04507, HunyuanVideo's own acceleration literature) is what makes
     # the step beat the reference's dense 38.1 s; the dense-flash step is
     # attempt 2 and recorded in PARITY.md (74.7 s, vs_baseline 0.51).
     # STA quality evidence: scripts/sta_quality.py forward-delta proxy.
     attempts = [
-        (720, 1280, 129, ["--int8", "--sta-int8", "--staged", "4", "6"]),
+        (720, 1280, 129, ["--int8", "--sta", "--staged", "4", "6"]),
         (720, 1280, 129, ["--int8", "--staged", "4", "6"]),
         (544, 960, 129, ["--int8"]),
         (544, 960, 65, ["--int8"]),

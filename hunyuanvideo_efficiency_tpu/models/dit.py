@@ -74,22 +74,30 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+_INT8_TEMP_BUDGET = 1_500_000_000
+"""Byte budget for _int8_linear's widest transient, [L, out] x 4 (the
+s8xs8 dot's s32/f32 output before the bf16 cast).
+
+At 720p-class lengths (118.8k tokens) the wide projections (qkv 9216,
+mlp 12288) would transiently need 4.4-5.8 GB — with 13B int8 params
+already holding 12.4 GB of HBM those temps are what pushed the staged
+720p step past 15.75 GB at runtime, so they token-chunk. Square [h -> h]
+projections only need ~1.45 GB and run UN-chunked: chunking serializes
+the VPU quant pass against the MXU dot across chunks (measured 145 vs
+224 TOP/s at [118.8k, 3072] x [3072, 3072] on v5e), so chunk only what
+memory demands. 544p-class shapes (67.8k tokens) never chunk — they fit
+whole and keep their measured perf (the token gate)."""
+
+
 _INT8_CHUNK_TOKENS = 100_000
-"""Token count above which _int8_linear internally chunks its token axis.
-
-The s8xs8 dot's s32 output must materialize at [L, out] x 4 bytes — at
-720p-class lengths (119808 tokens) that is 1.1-1.5 GB per projection, and
-with 13B int8 params already holding 12.4 GB of HBM those temps are what
-pushed the staged 720p step past 15.75 GB at runtime. Chunking bounds them
-to [chunk, out]. 544p-class shapes (67.8k tokens) fit un-chunked and keep
-their measured perf, hence the high threshold."""
-
 
 _INT8_CHUNK_SIZE = 8192
 
 
 def _int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    if x.ndim == 3 and x.shape[1] > _INT8_CHUNK_TOKENS:
+    n_out = p["kernel"].shape[-1]
+    if (x.ndim == 3 and x.shape[1] > _INT8_CHUNK_TOKENS
+            and x.shape[1] * n_out * 4 > _INT8_TEMP_BUDGET):
         return _chunked_tokens(lambda u: _int8_linear_body(p, u), x,
                                _INT8_CHUNK_SIZE)
     return _int8_linear_body(p, x)

@@ -84,6 +84,13 @@ def tile_plan(grid: Tuple[int, int, int], tile: Tuple[int, int, int],
                     s += 1
         for jblk in range(n_txt_blocks):
             nbr[i, n_img_slots + jblk] = n_tiles + jblk
+    # valid-first compaction: slot order is irrelevant to the math (the
+    # kernel folds slots commutatively under one softmax), but packing the
+    # -1 skips at the tail means a border tile's trailing slot GROUPS are
+    # entirely invalid, letting the kernel skip their compute wholesale
+    # (~22% of computed pairs at 720p are border waste otherwise).
+    order = np.argsort(nbr < 0, axis=1, kind="stable")
+    nbr = np.take_along_axis(nbr, order, axis=1)
     return {
         "perm": perm, "inv_perm": inv_perm, "nbr": nbr,
         "n_tiles": n_tiles, "tokens_per_tile": tokens_per_tile,
@@ -292,48 +299,53 @@ def _sta_nomax_fused_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # bias row for the whole slot group: key bias ++ scalar slot mask
-    kbias = jnp.concatenate(
-        [kb_refs[i][0, 0:1, :]
-         + jnp.where(nbr_ref[qi, g * slot_block + i] >= 0, 0.0, NEG_INF)
-         for i in range(slot_block)], axis=-1)
+    # tile_plan packs valid slots first, so a group whose FIRST slot is
+    # invalid is entirely invalid — skip its compute wholesale (border
+    # tiles' trailing groups; ~22% of padded pairs at 720p)
+    @pl.when(nbr_ref[qi, g * slot_block] >= 0)
+    def _group():
+        # bias row for the whole slot group: key bias ++ scalar slot mask
+        kbias = jnp.concatenate(
+            [kb_refs[i][0, 0:1, :]
+             + jnp.where(nbr_ref[qi, g * slot_block + i] >= 0, 0.0, NEG_INF)
+             for i in range(slot_block)], axis=-1)
 
-    for h in range(head_block):
-        cs = slice(h * d, (h + 1) * d)
-        c = c_ref[bi, hg * head_block + h]
-        if quant:
-            qf = q_ref[0][:, cs].astype(jnp.float32)
-            sq = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-6) / 127.0
-            q8 = jnp.round(qf * (1.0 / sq)).astype(jnp.int8)
-            parts = []
+        for h in range(head_block):
+            cs = slice(h * d, (h + 1) * d)
+            c = c_ref[bi, hg * head_block + h]
+            if quant:
+                qf = q_ref[0][:, cs].astype(jnp.float32)
+                sq = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-6) / 127.0
+                q8 = jnp.round(qf * (1.0 / sq)).astype(jnp.int8)
+                parts = []
+                for i in range(slot_block):
+                    kf = k_refs[i][0][:, cs].astype(jnp.float32)
+                    sk = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-6) / 127.0
+                    k8 = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
+                    s32 = jax.lax.dot_general(
+                        q8, k8, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    parts.append(s32.astype(jnp.float32) * (sq * sk * scale))
+                s = jnp.concatenate(parts, axis=-1)
+            else:
+                s = jnp.concatenate(
+                    [jax.lax.dot_general(
+                        q_ref[0][:, cs], k_refs[i][0][:, cs],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     for i in range(slot_block)], axis=-1) * scale
+            p = jnp.exp(s + (kbias - c))
+            l_scr[:, h:h + 1] = (l_scr[:, h:h + 1]
+                                 + jnp.sum(p, -1, keepdims=True))
+            blk = p.shape[-1] // slot_block
+            pv = None
             for i in range(slot_block):
-                kf = k_refs[i][0][:, cs].astype(jnp.float32)
-                sk = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-6) / 127.0
-                k8 = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
-                s32 = jax.lax.dot_general(
-                    q8, k8, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                parts.append(s32.astype(jnp.float32) * (sq * sk * scale))
-            s = jnp.concatenate(parts, axis=-1)
-        else:
-            s = jnp.concatenate(
-                [jax.lax.dot_general(
-                    q_ref[0][:, cs], k_refs[i][0][:, cs],
-                    (((1,), (1,)), ((), ())),
+                pvi = jax.lax.dot_general(
+                    p[:, i * blk:(i + 1) * blk].astype(v_refs[i].dtype),
+                    v_refs[i][0][:, cs], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                 for i in range(slot_block)], axis=-1) * scale
-        p = jnp.exp(s + (kbias - c))
-        l_scr[:, h:h + 1] = (l_scr[:, h:h + 1]
-                             + jnp.sum(p, -1, keepdims=True))
-        blk = p.shape[-1] // slot_block
-        pv = None
-        for i in range(slot_block):
-            pvi = jax.lax.dot_general(
-                p[:, i * blk:(i + 1) * blk].astype(v_refs[i].dtype),
-                v_refs[i][0][:, cs], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            pv = pvi if pv is None else pv + pvi
-        acc_scr[:, cs] = acc_scr[:, cs] + pv
+                pv = pvi if pv is None else pv + pvi
+            acc_scr[:, cs] = acc_scr[:, cs] + pv
 
     @pl.when(g == n_groups - 1)
     def _finish():

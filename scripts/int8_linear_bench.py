@@ -1,0 +1,79 @@
+"""Micro-benchmark: int8 W8A8 linear vs bf16 matmul at DiT shapes.
+
+The 13B step is ~60% block-linear FLOPs; this isolates one [L, h] x [h, n]
+projection (the unit `linear()` dispatches) to see how close the W8A8 path
+runs to the v5e s8 MXU peak (394 TOPS) and what the per-token activation
+quantization pass costs.
+
+Usage: python scripts/int8_linear_bench.py [L] [h] [n]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hunyuanvideo_efficiency_tpu.models.dit import _int8_linear_body
+    from hunyuanvideo_efficiency_tpu.ops.quantization import (
+        quantize_tensor_int8)
+
+    L = int(sys.argv[1]) if len(sys.argv) > 1 else 118800
+    h = int(sys.argv[2]) if len(sys.argv) > 2 else 3072
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 3072
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    x = (jax.random.normal(kx, (1, L, h), jnp.float32)).astype(jnp.bfloat16)
+    w = (jax.random.normal(kw, (h, n), jnp.float32) / h ** 0.5
+         ).astype(jnp.bfloat16)
+    p8 = quantize_tensor_int8(w)
+    flops = 2.0 * L * h * n
+
+    REPS = 16  # amortize the ~30 ms tunnel dispatch overhead inside jit
+
+    def timeit(fn, *a):
+        out = fn(*a)
+        float(out.ravel()[0])
+        ts = []
+        for i in range(3):
+            xi = a[-1] + jnp.bfloat16(0.001 * (i + 1))
+            float(xi.ravel()[0])
+            t0 = time.perf_counter()
+            out = fn(*a[:-1], xi)
+            float(out.ravel()[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts) / REPS
+
+    def chain(body):
+        def run(p, u):
+            def step(carry, _):
+                y = body(p, carry)
+                return (0.5 * carry + 0.001 * y.astype(carry.dtype)), None
+            out, _ = jax.lax.scan(step, u, None, length=REPS)
+            return out
+        return jax.jit(run)
+
+    t8 = timeit(chain(_int8_linear_body), p8, x)
+    print(f"int8 W8A8 [{L}x{h}]@[{h}x{n}]: {t8 * 1e3:7.2f} ms "
+          f"{flops / t8 / 1e12:6.1f} TOP/s")
+
+    tb = timeit(chain(lambda wt, u: u @ wt), w, x)
+    print(f"bf16 matmul same shape:    {tb * 1e3:7.2f} ms "
+          f"{flops / tb / 1e12:6.1f} TFLOP/s")
+
+    # quant pass alone (what the int8 path adds per linear)
+    def quant_only(_, u):
+        amax = jnp.max(jnp.abs(u), axis=-1, keepdims=True
+                       ).astype(jnp.float32)
+        sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        return jnp.round(u.astype(jnp.float32) / sx).astype(jnp.int8)
+    tq = timeit(chain(quant_only), None, x)
+    print(f"activation quant pass:     {tq * 1e3:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -154,6 +154,7 @@ class TestInt8:
         q = quantize_tensor_int8(w)
         ref = dit_mod.linear(q, x)
         monkeypatch.setattr(dit_mod, "_INT8_CHUNK_TOKENS", 16)
+        monkeypatch.setattr(dit_mod, "_INT8_TEMP_BUDGET", 1)
         monkeypatch.setattr(dit_mod, "_INT8_CHUNK_SIZE", 16)
         out = dit_mod.linear(q, x)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
@@ -441,3 +442,26 @@ class TestFlashStaticOffset:
         from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
 
         assert _analytic_score_bound(DiTConfig(qk_norm=False), 64, []) is None
+
+    @pytest.mark.parametrize("L,h,n,bias", [(300, 256, 384, True),
+                                            (512, 256, 256, False)])
+    def test_int8_linear_pallas_matches_xla(self, L, h, n, bias):
+        # the fused Pallas W8A8 kernel (ops/int8_matmul.py) must match the
+        # XLA path bit-for-bit in quantization decisions (same amax/round)
+        from hunyuanvideo_efficiency_tpu.models.dit import _int8_linear_body
+        from hunyuanvideo_efficiency_tpu.ops.int8_matmul import (
+            int8_linear_pallas)
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_tensor_int8)
+
+        kx, kw, kb = jax.random.split(jax.random.PRNGKey(L), 3)
+        x = jax.random.normal(kx, (1, L, h)).astype(jnp.bfloat16)
+        w = (jax.random.normal(kw, (h, n)) / h ** 0.5).astype(jnp.bfloat16)
+        p = quantize_tensor_int8(w)
+        if bias:
+            p["bias"] = jax.random.normal(kb, (n,)).astype(jnp.bfloat16)
+        ref = _int8_linear_body(p, x)
+        out = int8_linear_pallas(p, x)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
