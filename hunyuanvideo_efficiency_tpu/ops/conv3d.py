@@ -48,13 +48,42 @@ def causal_conv3d(
     impl="t2d" decomposes the 3D conv into kt temporally-shifted 2D NHWC
     convs summed together — identical math, but the [B*T, H, W, C] 2D conv
     is the layout XLA:TPU tiles best. impl="3d" is the direct
-    conv_general_dilated form. impl="auto" (default) picks t2d for small
-    tensors and 3d for large ones: the decomposition materializes kt
-    shifted full-tensor copies (3 x 4.2 GB at a 256px decode tile's widest
-    stage — the allocation that made big-tile VAE decode un-compilable on
-    one chip), while the direct form needs only the padded input.
+    conv_general_dilated form. impl="pallas" is the implicit-GEMM Pallas
+    kernel (ops/conv3d_pallas.py) — measured 60.5 vs 47.5 TFLOP/s (1.27x)
+    on the VAE decoder's dominant 128-ch 256px stage and 47.4 vs 42.7 at
+    256-ch, parity at 512-ch (scripts/conv_probe.py, on-chip), used
+    whenever its static shape gate admits the call. impl="auto" (default)
+    picks pallas when applicable, else t2d for small tensors and 3d for
+    large ones: the t2d decomposition materializes kt shifted full-tensor
+    copies (3 x 4.2 GB at a 256px decode tile's widest stage — the
+    allocation that made big-tile VAE decode un-compilable on one chip),
+    while the direct form needs only the padded input.
     """
     kt, kh, kw = kernel.shape[0], kernel.shape[1], kernel.shape[2]
+    if impl in ("auto", "pallas"):
+        from .conv3d_pallas import (conv3d_stride1_pallas,
+                                    pallas_conv_applicable)
+
+        if pallas_conv_applicable(x.shape, kernel.shape, tuple(stride)):
+            w = x.shape[3]
+            w_out = -(-w // 8) * 8  # kernel needs w_out AND Wp 8-aligned
+            wp = -(-(w_out + kw - 1) // 8) * 8
+            extra = wp - (w + kw - 1)
+            xp = jnp.pad(x, [(0, 0), (kt - 1, 0), (kh // 2, kh // 2),
+                             (kw // 2, kw // 2 + extra), (0, 0)],
+                         mode="edge")
+            from . import conv3d_pallas as _cp
+
+            out = conv3d_stride1_pallas(xp, kernel.astype(x.dtype), w_out,
+                                        interpret=_cp.INTERPRET_OVERRIDE)
+            out = out[:, :, :, :w]
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+            return out
+        if impl == "pallas":
+            raise ValueError(
+                f"pallas conv gate rejects shape {x.shape} kernel "
+                f"{kernel.shape} stride {stride}")
     if impl == "auto":
         impl = "3d" if x.size >= 200_000_000 else "t2d"
     if impl == "3d" or kt == 1:

@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--frames", type=int, default=129)
     ap.add_argument("--decode", action="store_true",
                     help="also time tiled decode of the encoded latent")
+    ap.add_argument("--warm", action="store_true",
+                    help="re-run each leg on fresh input for a warm "
+                         "(compile-free) time")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     args = ap.parse_args()
 
@@ -60,7 +63,16 @@ def main():
         "metric": f"vae tiled encode {w}x{h}x{f}f uniform_tiles "
                   f"{args.dtype}",
         "value": round(t_enc, 2), "unit": "s (incl. compile)",
-        "latent_shape": list(moments.shape)}))
+        "latent_shape": list(moments.shape)}), flush=True)
+    if args.warm:
+        x2 = x + 0.001
+        sync(x2)
+        t0 = time.perf_counter()
+        sync(vae.encode_moments(x2))
+        print(json.dumps({
+            "metric": f"vae tiled encode {w}x{h}x{f}f warm",
+            "value": round(time.perf_counter() - t0, 2), "unit": "s"}),
+            flush=True)
 
     if args.decode:
         z = moments[:, :cfg.latent_channels]
@@ -73,7 +85,16 @@ def main():
             "metric": f"vae tiled decode {w}x{h}x{f}f uniform_tiles "
                       f"{args.dtype}",
             "value": round(t_dec, 2), "unit": "s (incl. compile)",
-            "video_shape": list(out.shape)}))
+            "video_shape": list(out.shape)}), flush=True)
+        if args.warm:
+            z2 = z + 0.001
+            sync(z2)
+            t0 = time.perf_counter()
+            sync(vae.decode(z2))
+            print(json.dumps({
+                "metric": f"vae tiled decode {w}x{h}x{f}f warm",
+                "value": round(time.perf_counter() - t0, 2), "unit": "s"}),
+                flush=True)
 
 
 if __name__ == "__main__":
