@@ -215,7 +215,13 @@ class HunyuanVideoPipeline:
         # park DiT weights in host memory while the VAE decodes (the
         # reference's sequential cpu-offload, inference.py:443-446 /
         # pipeline :164-166): on a 16 GB chip the 12.8 GB quantized DiT
-        # plus decode-tile activations do not fit together
+        # plus decode-tile activations do not fit together.
+        # True: round-trip the weights to host RAM (reusable pipeline).
+        # "free": DELETE the device weights before decode — the right mode
+        # for one-shot generation (sample_video.py runs one video per
+        # process); on remote-tunnel runtimes the 13.5 GB device->host
+        # copy of True costs ~20 minutes, the delete is instant. The
+        # pipeline cannot denoise again afterwards.
         self.offload_transformer = offload_transformer or bool(
             getattr(args, "use_cpu_offload", False))
         self.vae = vae
@@ -346,6 +352,10 @@ class HunyuanVideoPipeline:
         latents = latents.astype(jnp.float32)
 
         if self.offload_transformer:
+            if self.transformer_params is None:
+                raise RuntimeError(
+                    "transformer weights were freed by a previous "
+                    "offload_transformer='free' run; reload the pipeline")
             # sequential offload: only the phase that is executing keeps
             # its weights on device (restore is a no-op when already there)
             self.transformer_params = jax.device_put(
@@ -405,9 +415,18 @@ class HunyuanVideoPipeline:
 
         if self.offload_transformer:
             latents = jax.device_put(np.asarray(latents))  # force + detach
-            cpu = jax.devices("cpu")[0]
-            self.transformer_params = jax.device_put(
-                self.transformer_params, cpu)
+            if self.offload_transformer == "free":
+                # drop the device weights outright (no host copy): frees
+                # the ~13 GB instantly where the host round-trip would
+                # re-transfer the whole tree through the runtime link
+                jax.tree.map(
+                    lambda a: a.delete() if hasattr(a, "delete") else None,
+                    self.transformer_params)
+                self.transformer_params = None
+            else:
+                cpu = jax.devices("cpu")[0]
+                self.transformer_params = jax.device_put(
+                    self.transformer_params, cpu)
             self.vae.params = jax.device_put(self.vae.params,
                                              jax.devices()[0])
 

@@ -64,7 +64,12 @@ def causal_conv3d(
         from .conv3d_pallas import (conv3d_stride1_pallas,
                                     pallas_conv_applicable)
 
-        if pallas_conv_applicable(x.shape, kernel.shape, tuple(stride)):
+        from .conv3d_pallas import pick_h_block
+
+        hb = (pick_h_block(x.shape, kernel.shape)
+              if pallas_conv_applicable(x.shape, kernel.shape,
+                                        tuple(stride)) else None)
+        if hb is not None:
             w = x.shape[3]
             w_out = -(-w // 8) * 8  # kernel needs w_out AND Wp 8-aligned
             wp = -(-(w_out + kw - 1) // 8) * 8
@@ -75,6 +80,7 @@ def causal_conv3d(
             from . import conv3d_pallas as _cp
 
             out = conv3d_stride1_pallas(xp, kernel.astype(x.dtype), w_out,
+                                        h_block=hb,
                                         interpret=_cp.INTERPRET_OVERRIDE)
             out = out[:, :, :, :w]
             if bias is not None:

@@ -106,6 +106,21 @@ def main():
         bench(partial(pallas_hb, hb=16), x, kern, "pallas-hb16 ")
         # hb=32 exceeds the 16 MB VMEM scoped limit at W=256 (slab+widened
         # plane+fp32 acc ≈ 19 MB) — Mosaic refuses the stack allocation.
+
+        def pallas_v2(xx, kk, hb):
+            from hunyuanvideo_efficiency_tpu.ops.conv3d_pallas import (
+                conv3d_stride1_pallas_v2)
+            ww = xx.shape[3]
+            w_out = -(-ww // 8) * 8
+            wp = -(-(w_out + 2) // 8) * 8
+            xp = jnp.pad(xx, [(0, 0), (2, 0), (1, 1),
+                              (1, 1 + wp - ww - 2), (0, 0)], mode="edge")
+            return conv3d_stride1_pallas_v2(xp, kk, w_out,
+                                            h_block=hb)[:, :, :, :ww]
+        bench(partial(pallas_v2, hb=8), x, kern, "pallasv2-hb8")
+        # v2 at hb=16 exceeds the VMEM scoped limit (slab + 3 widened
+        # planes ~ 16.5 MB at W=256); hb=8 measured 58.0 TFLOP/s — slower
+        # than v1 (see conv3d_pallas.py docstring), so v1 stays routed.
         print(flush=True)
 
 

@@ -70,10 +70,12 @@ def main():
         vae=vae, text_encoder=None, text_encoder_2=None,
         transformer_params=params, transformer_cfg=cfg,
         scheduler=FlowMatchDiscreteScheduler(shift=7.0, reverse=True),
-        offload_transformer=True)
-    # The pipeline offloads the DiT weights to host before VAE decode; a
-    # caller-held reference would keep the ~13.5 GB int8 tree alive on the
-    # chip and OOM the 720p decode (observed). Drop ours.
+        offload_transformer="free")
+    # "free" deletes the ~13.5 GB int8 tree after the denoise instead of
+    # copying it to host — the host round-trip through this environment's
+    # remote tunnel measured ~1,200 s (the first E2E attempt's "decode"
+    # leg was 1,357 s of which ~90% was that copy). One-shot semantics,
+    # same as a sample_video.py process.
     del params
 
     t_lat, h_lat, w_lat = (f - 1) // 4 + 1, h // 8, w // 8

@@ -207,3 +207,37 @@ def test_offload_transformer_roundtrip():
     # second call restores them and reproduces the output
     b = pipe(**kwargs).videos
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_offload_transformer_free():
+    """offload_transformer="free" deletes the DiT weights after the denoise
+    (one-shot generation: no 13 GB host round-trip); output matches the
+    roundtrip path, and a second call fails loudly instead of recomputing
+    with freed buffers."""
+    vae = AutoencoderKLCausal3D(
+        TINY_VAE, init_vae_params(jax.random.PRNGKey(1), TINY_VAE))
+    dit_params = init_dit_params(jax.random.PRNGKey(2), TINY_DIT)
+    sch = FlowMatchDiscreteScheduler(shift=7.0, reverse=True)
+    pe, mask, pe2 = _embeds(1)
+    freqs = get_nd_rotary_pos_embed(TINY_DIT.rope_dim_list, (3, 2, 2),
+                                    theta=256.0)
+    kwargs = dict(height=32, width=32, video_length=9,
+                  num_inference_steps=2, guidance_scale=1.0,
+                  embedded_guidance_scale=6.0, key=jax.random.PRNGKey(0),
+                  prompt_embeds=pe, prompt_mask=mask, prompt_embeds_2=pe2,
+                  freqs_cis=freqs)
+    ref = HunyuanVideoPipeline(
+        vae=vae, text_encoder=None, text_encoder_2=None,
+        transformer_params=dit_params, transformer_cfg=TINY_DIT,
+        scheduler=sch, offload_transformer=True)(**kwargs).videos
+    pipe = HunyuanVideoPipeline(
+        vae=vae, text_encoder=None, text_encoder_2=None,
+        transformer_params=jax.tree.map(jnp.copy, dit_params),
+        transformer_cfg=TINY_DIT,
+        scheduler=sch, offload_transformer="free")
+    a = pipe(**kwargs).videos
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    assert pipe.transformer_params is None
+    with pytest.raises(RuntimeError, match="freed"):
+        pipe(**kwargs)
