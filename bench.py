@@ -260,17 +260,20 @@ def main():
             "TPU relay down?) — refusing to start 1h bench attempts")
 
     # largest-first; int8 W8A8 linears are the default compute path (fastest
-    # measured). The flagship 720p config only runs staged (a monolithic
-    # step exceeds the ~60 s on-device watchdog). First attempt is the
-    # sliding-tile-attention step (attn_mode=sta; the in-kernel int8-QK
-    # variant re-quantizes per fold and measured 11 ms/layer SLOWER than
-    # bf16 once the kernel went wide, so bf16 STA is the default)
-    # — at 720p attention is ~87% of step FLOPs, and STA (arXiv
-    # 2502.04507, HunyuanVideo's own acceleration literature) is what makes
-    # the step beat the reference's dense 38.1 s; the dense-flash step is
-    # attempt 2 and recorded in PARITY.md (74.7 s, vs_baseline 0.51).
+    # measured). First attempt is the sliding-tile-attention step
+    # (attn_mode=sta; the in-kernel int8-QK variant re-quantizes per fold
+    # and measured 11 ms/layer SLOWER than bf16 once the kernel went wide,
+    # so bf16 STA is the default) — at 720p attention is ~87% of step FLOPs,
+    # and STA (arXiv 2502.04507, HunyuanVideo's own acceleration literature)
+    # is what makes the step beat the reference's dense 38.1 s. The STA step
+    # runs MONOLITHIC (17.8 s on-device fits the ~60 s watchdog; measured
+    # vs 18.3 s staged — no dispatch gaps); the staged (4,6) variant is
+    # attempt 2 in case a tighter runtime kills the single program. The
+    # dense-flash step only runs staged (74.7 s monolithic would be killed;
+    # vs_baseline 0.51, recorded in PARITY.md).
     # STA quality evidence: scripts/sta_quality.py forward-delta proxy.
     attempts = [
+        (720, 1280, 129, ["--int8", "--sta"]),
         (720, 1280, 129, ["--int8", "--sta", "--staged", "4", "6"]),
         (720, 1280, 129, ["--int8", "--staged", "4", "6"]),
         (544, 960, 129, ["--int8"]),
