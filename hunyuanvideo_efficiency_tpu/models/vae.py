@@ -411,11 +411,28 @@ class AutoencoderKLCausal3D:
         self.use_slicing = b
 
     # -- core (channels-last internal) --
-    def _encode_tile(self, x):
-        return self._enc(self.params, x.astype(self.dtype))
+    def _encode_tile(self, x, params=None):
+        return self._enc(self.params if params is None else params,
+                         x.astype(self.dtype))
 
-    def _decode_tile(self, z):
-        return self._dec(self.params, z.astype(self.dtype))
+    def _decode_tile(self, z, params=None):
+        return self._dec(self.params if params is None else params,
+                         z.astype(self.dtype))
+
+    def _sub_params(self, sub_mesh):
+        """Params replicated over a device-subset mesh (remainder-tile
+        dispatch): jit requires every argument on the SAME device set, and
+        self.params is committed to the full mesh. Cached per subset size;
+        the extra replica costs one VAE param copy on those devices."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        d = sub_mesh.devices.size
+        if not hasattr(self, "_sub_params_cache"):
+            self._sub_params_cache = {}
+        if d not in self._sub_params_cache:
+            self._sub_params_cache[d] = jax.device_put(
+                self.params, NamedSharding(sub_mesh, PartitionSpec()))
+        return self._sub_params_cache[d]
 
     def _run_tiles_batched(self, tiles, fn, tile_batch: int):
         """Run equal-shaped tiles through fn in batched groups.
@@ -442,21 +459,54 @@ class AutoencoderKLCausal3D:
             for s in range(0, len(idxs), per_dispatch):
                 chunk = idxs[s:s + per_dispatch]
                 batch = [tiles[i] for i in chunk]
-                if n_dev > 1:
-                    # pad with copies so the row count splits evenly over
-                    # the mesh (each tile contributes `shape[0]` rows)
-                    while (len(batch) * shape[0]) % n_dev:
-                        batch.append(batch[-1])
                 stacked = jnp.concatenate(batch, axis=0)
+                rows = stacked.shape[0]
+                pad_rows = 0
+                params = None
                 if n_dev > 1:
+                    # When rows doesn't divide the device count, shard over
+                    # the smallest device subset that keeps the SAME
+                    # per-device row count as full-mesh padding would —
+                    # identical wall-clock, but wasted (zero-pad) rows drop
+                    # below one device's share instead of whole duplicate
+                    # tiles (6 tiles on 8 devices: 6 devices x 1 row,
+                    # 0 waste — the old path decoded 8).
+                    per_dev = -(-rows // n_dev)
+                    d = -(-rows // per_dev)
+                    pad_rows = d * per_dev - rows
+                    if pad_rows:
+                        stacked = jnp.concatenate(
+                            [stacked,
+                             jnp.zeros((pad_rows, *stacked.shape[1:]),
+                                       stacked.dtype)], axis=0)
+                    from jax.sharding import (Mesh, NamedSharding,
+                                              PartitionSpec)
+
+                    if d == n_dev:
+                        sub = self.mesh
+                        spec = PartitionSpec(tuple(self.mesh.axis_names))
+                    else:
+                        sub = Mesh(self.mesh.devices.ravel()[:d],
+                                   ("tile_rows",))
+                        spec = PartitionSpec("tile_rows")
+                        params = self._sub_params(sub)
+                    stacked = jax.device_put(
+                        stacked, NamedSharding(sub, spec))
+                res = fn(stacked, params) if params is not None \
+                    else fn(stacked)
+                if params is not None:
+                    # back onto the FULL mesh: neighbouring tiles from
+                    # full-mesh dispatches live on a different device set,
+                    # and blending across committed device sets is invalid
                     from jax.sharding import NamedSharding, PartitionSpec
 
-                    spec = PartitionSpec(tuple(self.mesh.axis_names))
-                    stacked = jax.device_put(
-                        stacked, NamedSharding(self.mesh, spec))
-                res = fn(stacked)
+                    res = jax.device_put(
+                        res, NamedSharding(self.mesh, PartitionSpec()))
+                if pad_rows:
+                    # fn is row-batched 1:1 in/out on axis 0
+                    res = res[:res.shape[0] - pad_rows]
                 for i, p in zip(chunk,
-                                jnp.split(res, len(batch), axis=0)):
+                                jnp.split(res, len(chunk), axis=0)):
                     out[i] = p
         return out
 

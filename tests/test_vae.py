@@ -180,6 +180,31 @@ class TestMeshTiling:
         mesh_vae.disable_tiling()
         np.testing.assert_allclose(plain, sharded, rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("n_tiles,want_rows", [
+        (6, [6]),    # 6 tiles / 8 devices: 6-device sub-mesh, ZERO waste
+        (8, [8]),    # exact fit: full mesh
+        (9, [8, 1]), # two dispatches (tile_batch=1): 8 then 1 unsharded-ish
+        (12, [8, 4]),
+    ])
+    def test_tile_dispatch_no_duplicate_waste(self, mesh_vae, n_tiles,
+                                              want_rows):
+        """Remainder tiles shard over a device subset instead of padding
+        with whole duplicate tiles: fn must see exactly the real rows
+        (plus < one device's share of zero rows)."""
+        tiles = [jnp.full((1, 2, 4, 4, 3), float(i + 1)) for i in
+                 range(n_tiles)]
+        seen = []
+
+        def fn(x, params=None):
+            seen.append(int(x.shape[0]))
+            return x * 2.0
+
+        out = mesh_vae._run_tiles_batched(tiles, fn, tile_batch=1)
+        assert seen == want_rows
+        for i, o in enumerate(out):
+            np.testing.assert_allclose(np.asarray(o),
+                                       np.asarray(tiles[i]) * 2.0)
+
 
 class TestTOps:
     def test_encoder_pool_halves_time(self, vae_params):
@@ -290,3 +315,85 @@ def test_uniform_tiles_decode_matches_except_borders():
     # (tiles start every row_limit=24 px; the last starts at 48)
     np.testing.assert_allclose(a[:, :, :8, :48, :48],
                                b[:, :, :8, :48, :48], rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# uniform_tiles ENCODE parity vs ragged tiling (VERDICT r2 item 5): pins the
+# enc_size ceil-by-stage arithmetic, the crop_h/crop_w latent crops, and the
+# (true_t-1)//4+1 temporal latent crop at awkward (non-overlap-multiple)
+# sizes. Uniform padding only alters the LAST tile along each axis, and each
+# tile's blend reads only the PREVIOUS tile's uncropped extent — so away from
+# the last tile's output region the two modes must agree exactly.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def uniform_pair(vae_params):
+    ragged = AutoencoderKLCausal3D(TINY, vae_params)
+    uniform = AutoencoderKLCausal3D(TINY, vae_params)
+    uniform.uniform_tiles = True
+    return ragged, uniform
+
+
+# tile_sample_min_size=32, overlap stride 24, row_limit=3 latent rows per
+# tile: all sizes below leave a ragged last tile (H/W % 24 != 0)
+@pytest.mark.parametrize("h,w", [(40, 56), (50, 34), (56, 40)])
+def test_uniform_tiles_spatial_encode_matches(uniform_pair, h, w, t=5):
+    ragged, uniform = uniform_pair
+    x = rand_video(t=t, h=h, w=w, seed=h * 100 + w)
+    for v in (ragged, uniform):
+        v.enable_spatial_tiling(True)
+    a = np.asarray(ragged.encode_moments(x))
+    b = np.asarray(uniform.encode_moments(x))
+    for v in (ragged, uniform):
+        v.disable_tiling()
+    assert a.shape == b.shape, (a.shape, b.shape)
+    # pins crop_h/crop_w == the ragged extent: (n-1)*row_limit +
+    # min(enc_size(last), row_limit) per axis. Values can only match over
+    # FULL tiles (i + 32 <= extent): any tile that overruns the edge gets
+    # different input under uniform padding — with stride 24 < tile 32
+    # that can be more than just the last tile.
+    row_limit = 3
+    nh_full = sum(1 for i in range(0, h, 24) if i + 32 <= h)
+    nw_full = sum(1 for j in range(0, w, 24) if j + 32 <= w)
+    safe_h = nh_full * row_limit
+    safe_w = nw_full * row_limit
+    np.testing.assert_allclose(a[:, :, :, :safe_h, :safe_w],
+                               b[:, :, :, :safe_h, :safe_w],
+                               rtol=1e-5, atol=1e-5)
+
+
+# tile_sample_min_tsize=16, stride 12, t_limit=3 latent frames per tile:
+# T % 12 != 1 leaves a ragged last temporal tile
+@pytest.mark.parametrize("t", [18, 21, 29])
+def test_uniform_tiles_temporal_encode_matches(uniform_pair, t):
+    ragged, uniform = uniform_pair
+    x = rand_video(t=t, h=32, w=32, seed=t)
+    for v in (ragged, uniform):
+        v.enable_temporal_tiling(True)
+    a = np.asarray(ragged.encode_moments(x))
+    b = np.asarray(uniform.encode_moments(x))
+    for v in (ragged, uniform):
+        v.disable_tiling()
+    # pins the (true_t-1)//4+1 latent-frame crop
+    assert a.shape == b.shape, (a.shape, b.shape)
+    assert a.shape[2] == (t - 1) // 4 + 1
+    nt_full = sum(1 for i in range(0, t, 12) if i + 17 <= t)
+    safe_t = nt_full * 3 + 1
+    np.testing.assert_allclose(a[:, :, :safe_t], b[:, :, :safe_t],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_uniform_tiles_spatiotemporal_encode_matches(uniform_pair):
+    ragged, uniform = uniform_pair
+    t, h, w = 21, 40, 56
+    x = rand_video(t=t, h=h, w=w, seed=9)
+    for v in (ragged, uniform):
+        v.enable_tiling(True)
+    a = np.asarray(ragged.encode_moments(x))
+    b = np.asarray(uniform.encode_moments(x))
+    for v in (ragged, uniform):
+        v.disable_tiling()
+    assert a.shape == b.shape, (a.shape, b.shape)
+    assert a.shape[2] == (t - 1) // 4 + 1
+    np.testing.assert_allclose(a[:, :, :4, :3, :6], b[:, :, :4, :3, :6],
+                               rtol=1e-5, atol=1e-5)
