@@ -123,7 +123,14 @@ class FlowMatchDiscreteScheduler:
         return sample
 
     def index_for_timestep(self, timestep) -> int:
-        idx = np.nonzero(self.timesteps == float(timestep))[0]
+        # exact match where one exists (reference semantics,
+        # scheduling_flow_match_discrete.py); otherwise nearest — a caller
+        # passing a reduced-precision scalar (e.g. a bf16 device value)
+        # gets the intended step instead of an IndexError
+        t = float(timestep)
+        idx = np.nonzero(self.timesteps == t)[0]
+        if len(idx) == 0:
+            return int(np.argmin(np.abs(np.asarray(self.timesteps) - t)))
         pos = 1 if len(idx) > 1 else 0
         return int(idx[pos])
 

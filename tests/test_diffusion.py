@@ -241,3 +241,15 @@ def test_offload_transformer_free():
     assert pipe.transformer_params is None
     with pytest.raises(RuntimeError, match="freed"):
         pipe(**kwargs)
+
+
+def test_index_for_timestep_nearest_match():
+    """Exact match keeps reference semantics; a reduced-precision scalar
+    (e.g. bf16 readback) resolves to the nearest step instead of raising."""
+    sch = FlowMatchDiscreteScheduler(shift=7.0, reverse=True)
+    sch.set_timesteps(10)
+    t3 = float(sch.timesteps[3])
+    assert sch.index_for_timestep(t3) == 3
+    assert sch.index_for_timestep(t3 + 0.01) == 3
+    assert sch.index_for_timestep(
+        float(jnp.asarray(t3, jnp.bfloat16))) == 3
