@@ -209,7 +209,16 @@ class HunyuanVideoPipeline:
                  scheduler: FlowMatchDiscreteScheduler,
                  precision: str = "bf16", vae_precision: str = "fp16",
                  args=None, offload_encoders: bool = False,
-                 offload_transformer: bool = False):
+                 offload_transformer: bool = False,
+                 mesh=None, pcfg=None):
+        # multi-chip: with a mesh of world_size > 1 the denoise loop runs
+        # sequence-parallel (parallel/sp_dit.py) — the TPU-native analog of
+        # the reference wiring parallelize_transformer into the live
+        # pipeline (reference: hyvideo/inference.py:408-409)
+        self.mesh = mesh
+        self.pcfg = pcfg
+        self._sp_fns: Dict[Any, Any] = {}
+        self._sp_params_placed = False
         self.offload_encoders = offload_encoders or bool(
             getattr(args, "use_cpu_offload", False))
         # park DiT weights in host memory while the VAE decodes (the
@@ -276,6 +285,96 @@ class HunyuanVideoPipeline:
             pe2 = jnp.concatenate([npe2, pe2], axis=0)
         return pe, mask, pe2
 
+    def _denoise_sharded(self, latents, sigmas, timesteps, pe, mask, pe2,
+                         freqs_cis, *, do_cfg, guidance_scale,
+                         embedded_guidance_scale, guidance_rescale,
+                         scan_denoise, progress_callback=None):
+        """Sequence-parallel denoise over `self.mesh`: the latent travels
+        as flat patch tokens sharded over (dp, ulysses, ring) for the WHOLE
+        loop and is gathered exactly once before VAE decode.
+
+        The TPU-native analog of the reference applying
+        `parallelize_transformer` to the live pipeline (reference:
+        hyvideo/inference.py:408-409 patching forward at :40-104) — but as
+        shard_map sharding instead of a forward monkey-patch, and without
+        the reference's per-step all_gather (inference.py:97-100).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..models.dit import patchify_raw, unpatchify
+        from ..parallel import (DP_AXIS, SP_AXES, cfg_reorder_for_dp,
+                                check_sp_compat, make_sp_denoise_fn,
+                                make_sp_step_fn, shard_dit_params,
+                                shard_params)
+
+        cfg = self.transformer_cfg
+        pcfg = self.pcfg
+        mesh = self.mesh
+        b, c, lt_, lh, lw = latents.shape
+        pt, ph, pw = cfg.patch_size
+        grid = (lt_ // pt, lh // ph, lw // pw)
+        check_sp_compat(cfg, pcfg, grid, b)
+
+        tokens = patchify_raw(latents.astype(jnp.float32), cfg.patch_size)
+        tok_sh = NamedSharding(mesh, P(DP_AXIS, SP_AXES, None))
+        freq_sh = NamedSharding(mesh, P(SP_AXES, None))
+        bat_sh = NamedSharding(mesh, P(DP_AXIS))
+        tokens = jax.device_put(tokens, tok_sh)
+        f_cos = jax.device_put(jnp.asarray(freqs_cis[0]), freq_sh)
+        f_sin = jax.device_put(jnp.asarray(freqs_cis[1]), freq_sh)
+        dp = pcfg.dp_degree
+        if do_cfg and dp > 1:
+            # the dp shards each need their own contiguous [neg | pos] pair
+            pe = cfg_reorder_for_dp(pe, dp)
+            mask = cfg_reorder_for_dp(mask, dp)
+            pe2 = cfg_reorder_for_dp(pe2, dp)
+        pe = jax.device_put(pe, bat_sh)
+        mask = jax.device_put(mask, bat_sh)
+        pe2 = jax.device_put(pe2, bat_sh)
+        shard_weights = bool(getattr(self.args, "shard_dit_weights", False))
+        if not self._sp_params_placed:
+            if shard_weights:
+                # beyond-reference memory tier: block stacks weight-sharded
+                # over the sp axes, re-gathered chunk-by-chunk in the
+                # forward (parallel/sp_dit.py:shard_dit_params)
+                self.transformer_params, self._sp_param_axes = \
+                    shard_dit_params(self.transformer_params, mesh, pcfg)
+            else:
+                self.transformer_params = shard_params(
+                    self.transformer_params, mesh)
+                self._sp_param_axes = None
+            self._sp_params_placed = True
+        params = self.transformer_params
+
+        key = (bool(do_cfg), float(guidance_scale),
+               embedded_guidance_scale, float(guidance_rescale), grid,
+               bool(scan_denoise), shard_weights)
+        if key not in self._sp_fns:
+            maker = make_sp_denoise_fn if scan_denoise else make_sp_step_fn
+            self._sp_fns[key] = maker(
+                mesh, cfg, pcfg, do_cfg=do_cfg,
+                guidance_scale=float(guidance_scale),
+                embedded_guidance_scale=embedded_guidance_scale,
+                guidance_rescale=float(guidance_rescale), token_grid=grid,
+                param_axes=self._sp_param_axes)
+        fn = self._sp_fns[key]
+
+        if scan_denoise:
+            tokens = fn(params, tokens, sigmas, timesteps, pe, mask, pe2,
+                        f_cos, f_sin)
+        else:
+            for i in range(int(timesteps.shape[0])):
+                tokens = fn(params, tokens, sigmas[i], sigmas[i + 1],
+                            timesteps[i], pe, mask, pe2, f_cos, f_sin)
+                # serialize dispatches (see the single-device loop below)
+                jax.device_get(tokens.ravel()[0])
+                if progress_callback is not None:
+                    progress_callback(i, tokens)
+
+        # the single gather of the run: token shards -> host -> 5D latent
+        tokens = jnp.asarray(jax.device_get(tokens))
+        return unpatchify(tokens, *grid, cfg.out_channels, cfg.patch_size)
+
     def __call__(
         self,
         prompt: Optional[Union[str, List[str]]] = None,
@@ -300,7 +399,7 @@ class HunyuanVideoPipeline:
         output_type: str = "pil",
         data_type: str = "video",
         n_tokens: Optional[int] = None,
-        scan_denoise: bool = True,
+        scan_denoise: Optional[bool] = None,
         block_chunks: Optional[Tuple[int, int]] = None,
         progress_callback=None,
     ) -> HunyuanVideoPipelineOutput:
@@ -351,7 +450,22 @@ class HunyuanVideoPipeline:
                 latents = jax.random.normal(key, shape, jnp.float32)
         latents = latents.astype(jnp.float32)
 
-        if self.offload_transformer:
+        use_sp = (self.mesh is not None and self.pcfg is not None
+                  and self.pcfg.world_size > 1)
+        if scan_denoise is None:
+            # runtime-aware default: fuse all steps where the runtime
+            # allows, fall back to per-step (or block-chunked) dispatch
+            # under a program-duration watchdog (diffusion/dispatch.py)
+            from .dispatch import plan_dispatch
+
+            plan = plan_dispatch(
+                cfg, shape, num_steps=int(timesteps.shape[0]),
+                do_cfg=do_cfg,
+                sp_degree=self.pcfg.sp_degree if use_sp else 1)
+            scan_denoise = plan.scan_denoise
+            if block_chunks is None:
+                block_chunks = plan.block_chunks
+        if self.offload_transformer and not use_sp:
             if self.transformer_params is None:
                 raise RuntimeError(
                     "transformer weights were freed by a previous "
@@ -365,7 +479,15 @@ class HunyuanVideoPipeline:
                     self.vae.params, jax.devices("cpu")[0])
         egs = (float(embedded_guidance_scale)
                if embedded_guidance_scale is not None else None)
-        if scan_denoise:
+        if use_sp:
+            latents = self._denoise_sharded(
+                latents, sigmas, timesteps, pe, mask, pe2, freqs_cis,
+                do_cfg=do_cfg, guidance_scale=float(guidance_scale),
+                embedded_guidance_scale=egs,
+                guidance_rescale=float(guidance_rescale),
+                scan_denoise=scan_denoise,
+                progress_callback=progress_callback)
+        elif scan_denoise:
             # the TPU-native default: all steps fused in one program
             latents = denoise_latents(
                 self.transformer_params, latents, sigmas, timesteps,
@@ -413,7 +535,7 @@ class HunyuanVideoPipeline:
         if output_type == "latent":
             return HunyuanVideoPipelineOutput(videos=np.asarray(latents))
 
-        if self.offload_transformer:
+        if self.offload_transformer and not use_sp:
             latents = jax.device_put(np.asarray(latents))  # force + detach
             if self.offload_transformer == "free":
                 # drop the device weights outright (no host copy): frees

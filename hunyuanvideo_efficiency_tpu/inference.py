@@ -236,7 +236,8 @@ class HunyuanVideoSampler(Inference):
             transformer_params=self.transformer_params,
             transformer_cfg=self.transformer_cfg, scheduler=scheduler,
             precision=self.args.precision,
-            vae_precision=self.args.vae_precision, args=self.args)
+            vae_precision=self.args.vae_precision, args=self.args,
+            mesh=self.mesh, pcfg=self.pcfg)
 
     def predict(
         self,
@@ -324,7 +325,7 @@ class HunyuanVideoSampler(Inference):
                 vae_ver=self.args.vae,
                 enable_tiling=self.args.vae_tiling,
                 data_type="video" if video_length > 1 else "image",
-                scan_denoise=getattr(self.args, "scan_denoise", True),
+                scan_denoise=getattr(self.args, "scan_denoise", None),
             ).videos
         gen_time = time.time() - start
         if self.logger:

@@ -656,12 +656,14 @@ def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
 # Full model
 # --------------------------------------------------------------------------
 
-def patchify(x: jnp.ndarray, p: Params, patch: Tuple[int, int, int]) -> jnp.ndarray:
-    """[B, C, T, H, W] -> tokens [B, T' H' W', hidden] via reshape+matmul.
+def patchify_raw(x: jnp.ndarray, patch: Tuple[int, int, int]) -> jnp.ndarray:
+    """[B, C, T, H, W] -> raw patch tokens [B, T' H' W', C*pt*ph*pw].
 
-    Equivalent to Conv3d(kernel=stride=patch) then flatten; channel ordering
-    inside each patch matches the conv kernel layout (C, pt, ph, pw) so torch
-    weights convert directly.
+    Pure reshape/transpose (no params): the token axis is the flattened
+    (t, h, w) patch grid in row-major order. This is the canonical sharded
+    layout for sequence parallelism — the flat token count divides the mesh
+    even when no single spatial axis does (720p's 45-row patch grid is not
+    divisible by 8; its 118,800 tokens are).
     """
     b, c, t, hh, ww = x.shape
     pt, ph, pw = patch
@@ -669,8 +671,17 @@ def patchify(x: jnp.ndarray, p: Params, patch: Tuple[int, int, int]) -> jnp.ndar
     x = x.reshape(b, c, tt, pt, th, ph, tw, pw)
     # -> [B, tt, th, tw, C, pt, ph, pw]
     x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
-    x = x.reshape(b, tt * th * tw, c * pt * ph * pw)
-    return linear(p, x)
+    return x.reshape(b, tt * th * tw, c * pt * ph * pw)
+
+
+def patchify(x: jnp.ndarray, p: Params, patch: Tuple[int, int, int]) -> jnp.ndarray:
+    """[B, C, T, H, W] -> tokens [B, T' H' W', hidden] via reshape+matmul.
+
+    Equivalent to Conv3d(kernel=stride=patch) then flatten; channel ordering
+    inside each patch matches the conv kernel layout (C, pt, ph, pw) so torch
+    weights convert directly.
+    """
+    return linear(p, patchify_raw(x, patch))
 
 
 def unpatchify(x: jnp.ndarray, tt: int, th: int, tw: int, c: int,
@@ -686,7 +697,7 @@ def unpatchify(x: jnp.ndarray, tt: int, th: int, tw: int, c: int,
 
 def _forward_preamble(
     params: Params,
-    x: jnp.ndarray,
+    x_tokens: jnp.ndarray,       # [B, L(_loc), C*pt*ph*pw] raw patch tokens
     t: jnp.ndarray,
     text_states: jnp.ndarray,
     text_mask: jnp.ndarray,
@@ -696,18 +707,16 @@ def _forward_preamble(
     guidance: Optional[jnp.ndarray],
     cfg: DiTConfig,
 ):
-    """Front half of dit_forward (embedders, patchify, token refiner, text
-    padding, joint RoPE table), shared by the monolithic and the staged
-    dispatch. Returns (img, txt, vec, txt_bias, freqs_cis_sgl)."""
+    """Front half of dit_forward (embedders, patch projection, token
+    refiner, text padding, joint RoPE table), shared by the monolithic,
+    staged, and sequence-parallel dispatches. Takes raw patch tokens
+    (`patchify_raw`) so sequence-parallel callers can pass a token shard.
+    Returns (img, txt, vec, txt_bias, freqs_cis_sgl)."""
     dtype = params["img_in"]["kernel"].dtype
-    x = x.astype(dtype)
+    b = x_tokens.shape[0]
+    img_len = x_tokens.shape[1]
     text_states = text_states.astype(dtype)
     text_states_2 = text_states_2.astype(dtype)
-
-    b, c, ot, oh, ow = x.shape
-    pt, ph, pw = cfg.patch_size
-    tt, th, tw = ot // pt, oh // ph, ow // pw
-    img_len = tt * th * tw
 
     vec = timestep_embedder(params["time_in"], t, dtype)
     vec = vec + mlp_embedder(params["vector_in"], text_states_2)
@@ -716,7 +725,7 @@ def _forward_preamble(
             raise ValueError("guidance required for guidance-distilled model")
         vec = vec + timestep_embedder(params["guidance_in"], guidance, dtype)
 
-    img = patchify(x, params["img_in"], cfg.patch_size)
+    img = linear(params["img_in"], x_tokens.astype(dtype))
     if cfg.text_projection == "linear":
         txt = linear(params["txt_in"]["linear_2"], jax.nn.silu(
             linear(params["txt_in"]["linear_1"], text_states)))
@@ -776,15 +785,113 @@ def _forward_preamble(
     return img, txt, vec, txt_bias, freqs_cis_sgl
 
 
-def _forward_final(fl: Params, img: jnp.ndarray, vec: jnp.ndarray,
-                   tt: int, th: int, tw: int, cfg: DiTConfig) -> jnp.ndarray:
-    """Final adaLN + zero-init linear + unpatchify (reference:
-    mlp_layers.py:114-118), shared by monolithic and staged dispatch."""
+def _forward_final_tokens(fl: Params, img: jnp.ndarray, vec: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Final adaLN + zero-init linear, token-pointwise (reference:
+    mlp_layers.py:114-118). Returns [B, L, pt*ph*pw*out_c] tokens —
+    callers unpatchify (single-chip) or keep the token shard (SP)."""
     sh_sc = linear(fl["adaLN_modulation"], jax.nn.silu(vec))
     shift, scale = jnp.split(sh_sc, 2, -1)
     img = modulate(layer_norm(img), shift, scale)
-    img = linear(fl["linear"], img)
+    return linear(fl["linear"], img)
+
+
+def _forward_final(fl: Params, img: jnp.ndarray, vec: jnp.ndarray,
+                   tt: int, th: int, tw: int, cfg: DiTConfig) -> jnp.ndarray:
+    """Final adaLN + zero-init linear + unpatchify, shared by monolithic
+    and staged dispatch."""
+    img = _forward_final_tokens(fl, img, vec)
     return unpatchify(img, tt, th, tw, cfg.out_channels, cfg.patch_size)
+
+
+def dit_forward_tokens(
+    params: Params,
+    x_tokens: jnp.ndarray,       # [B, L(_loc), C*pt*ph*pw] raw patch tokens
+    t: jnp.ndarray,              # [B] in [0, 1000)
+    text_states: jnp.ndarray,    # [B, txt_len, text_states_dim]
+    text_mask: jnp.ndarray,      # [B, txt_len]
+    text_states_2: jnp.ndarray,  # [B, text_states_dim_2]
+    freqs_cos: jnp.ndarray,      # [L(_loc), head_dim]
+    freqs_sin: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,  # [B], cfg_scale * 1000
+    cfg: DiTConfig = None,
+    token_grid: Optional[Tuple[int, int, int]] = None,
+    param_gather=None,
+    weight_chunks: int = 4,
+) -> jnp.ndarray:
+    """Token-form forward: raw patch tokens in, output-patch tokens out
+    ([B, L, pt*ph*pw*out_c]); no patchify/unpatchify reshapes.
+
+    This is the sequence-parallel body (parallel/sp_dit.py): inside
+    shard_map, x_tokens/freqs are the per-device shard of the flat token
+    sequence and `token_grid` is the GLOBAL (T', H', W') patch grid (STA
+    needs it after the Ulysses head-scatter gathers the full sequence).
+    Single-chip callers use `dit_forward` below.
+
+    param_gather: sharded-weight tier hook (parallel/sp_dit.py:
+    shard_dit_params). When the stacked block params arrive weight-sharded
+    over the mesh, the block stacks are traversed in `weight_chunks`
+    depth chunks, each chunk's params all_gather'd just before its scan —
+    persistent per-device weight memory drops to 1/sp of the stack plus
+    one transient chunk. Callable: (stacked-chunk pytree) -> full pytree.
+    """
+    img_len = x_tokens.shape[1]
+
+    img, txt, vec, txt_bias, freqs_cis_sgl = _forward_preamble(
+        params, x_tokens, t, text_states, text_mask, text_states_2,
+        freqs_cos, freqs_sin, guidance, cfg)
+    txt_len = txt.shape[1]
+
+    def make_dbl(block_cfg):
+        def dbl(carry, bp):
+            img, txt = carry
+            img, txt = double_block(bp, img, txt, vec, txt_bias,
+                                    freqs_cis_sgl, block_cfg, token_grid)
+            return (img, txt), None
+        return jax.checkpoint(dbl) if cfg.remat_blocks else dbl
+
+    def make_sgl(block_cfg):
+        def sgl(xx, bp):
+            return single_block(bp, xx, vec, txt_len, txt_bias,
+                                freqs_cis_sgl, block_cfg, token_grid), None
+        return jax.checkpoint(sgl) if cfg.remat_blocks else sgl
+
+    def scan_range(carry, stack, fn, depth, name):
+        """Scan `depth` stacked blocks, optionally gathering weight-sharded
+        params chunk-by-chunk (see param_gather in the docstring)."""
+        if param_gather is None:
+            carry, _ = jax.lax.scan(fn, carry, stack)
+            return carry
+        step = max(1, -(-depth // weight_chunks))
+        for c0 in range(0, depth, step):
+            sub = jax.tree.map(lambda x: x[c0:c0 + step], stack)
+            carry, _ = jax.lax.scan(fn, carry, param_gather(sub, name))
+        return carry
+
+    def run_stack(carry, stack, make_fn, n_dense, name):
+        """Scan stacked blocks; under STA, the first n_dense blocks run
+        with dense flash attention (sta_dense_*_blocks, paper-style
+        quality anchor layers) via a split scan."""
+        depth = jax.tree.leaves(stack)[0].shape[0]
+        if cfg.attn_mode.startswith("sta") and n_dense > 0:
+            from dataclasses import replace as _replace
+
+            dense_cfg = _replace(cfg, attn_mode="auto")
+            head = jax.tree.map(lambda x: x[:n_dense], stack)
+            tail = jax.tree.map(lambda x: x[n_dense:], stack)
+            carry = scan_range(carry, head, make_fn(dense_cfg), n_dense,
+                               name)
+            return scan_range(carry, tail, make_fn(cfg), depth - n_dense,
+                              name)
+        return scan_range(carry, stack, make_fn(cfg), depth, name)
+
+    (img, txt) = run_stack((img, txt), params["double_blocks"], make_dbl,
+                           cfg.sta_dense_double_blocks, "double_blocks")
+    xx = jnp.concatenate([img, txt], axis=1)
+    xx = run_stack(xx, params["single_blocks"], make_sgl,
+                   cfg.sta_dense_single_blocks, "single_blocks")
+    img = xx[:, :img_len]
+    return _forward_final_tokens(params["final_layer"], img, vec)
 
 
 def dit_forward(
@@ -803,51 +910,11 @@ def dit_forward(
     b, c, ot, oh, ow = x.shape
     pt, ph, pw = cfg.patch_size
     tt, th, tw = ot // pt, oh // ph, ow // pw
-    img_len = tt * th * tw
-
-    img, txt, vec, txt_bias, freqs_cis_sgl = _forward_preamble(
-        params, x, t, text_states, text_mask, text_states_2,
-        freqs_cos, freqs_sin, guidance, cfg)
-    txt_len = txt.shape[1]
-    token_grid = (tt, th, tw)
-
-    def make_dbl(block_cfg):
-        def dbl(carry, bp):
-            img, txt = carry
-            img, txt = double_block(bp, img, txt, vec, txt_bias,
-                                    freqs_cis_sgl, block_cfg, token_grid)
-            return (img, txt), None
-        return jax.checkpoint(dbl) if cfg.remat_blocks else dbl
-
-    def make_sgl(block_cfg):
-        def sgl(xx, bp):
-            return single_block(bp, xx, vec, txt_len, txt_bias,
-                                freqs_cis_sgl, block_cfg, token_grid), None
-        return jax.checkpoint(sgl) if cfg.remat_blocks else sgl
-
-    def run_stack(carry, stack, make_fn, n_dense):
-        """Scan stacked blocks; under STA, the first n_dense blocks run
-        with dense flash attention (sta_dense_*_blocks, paper-style
-        quality anchor layers) via a split scan."""
-        if cfg.attn_mode.startswith("sta") and n_dense > 0:
-            from dataclasses import replace as _replace
-
-            dense_cfg = _replace(cfg, attn_mode="auto")
-            head = jax.tree.map(lambda x: x[:n_dense], stack)
-            tail = jax.tree.map(lambda x: x[n_dense:], stack)
-            carry, _ = jax.lax.scan(make_fn(dense_cfg), carry, head)
-            carry, _ = jax.lax.scan(make_fn(cfg), carry, tail)
-            return carry
-        carry, _ = jax.lax.scan(make_fn(cfg), carry, stack)
-        return carry
-
-    (img, txt) = run_stack((img, txt), params["double_blocks"], make_dbl,
-                           cfg.sta_dense_double_blocks)
-    xx = jnp.concatenate([img, txt], axis=1)
-    xx = run_stack(xx, params["single_blocks"], make_sgl,
-                   cfg.sta_dense_single_blocks)
-    img = xx[:, :img_len]
-    return _forward_final(params["final_layer"], img, vec, tt, th, tw, cfg)
+    out = dit_forward_tokens(
+        params, patchify_raw(x, cfg.patch_size), t, text_states, text_mask,
+        text_states_2, freqs_cos, freqs_sin, guidance, cfg=cfg,
+        token_grid=(tt, th, tw))
+    return unpatchify(out, tt, th, tw, cfg.out_channels, cfg.patch_size)
 
 
 # --------------------------------------------------------------------------
@@ -869,9 +936,9 @@ _PRE_KEYS = ("img_in", "time_in", "vector_in", "guidance_in", "txt_in")
 @partial(jax.jit, static_argnames=("cfg",))
 def _staged_pre(pre_params, x, t, text_states, text_mask, text_states_2,
                 freqs_cos, freqs_sin, guidance, cfg):
-    return _forward_preamble(pre_params, x, t, text_states, text_mask,
-                             text_states_2, freqs_cos, freqs_sin,
-                             guidance, cfg)
+    return _forward_preamble(pre_params, patchify_raw(x, cfg.patch_size), t,
+                             text_states, text_mask, text_states_2,
+                             freqs_cos, freqs_sin, guidance, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "length", "token_grid"),

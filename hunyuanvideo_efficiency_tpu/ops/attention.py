@@ -211,27 +211,32 @@ def joint_attention(
     if mode in ("sta", "sta_int8"):
         if token_grid is None:
             raise ValueError("attn_mode='sta' requires token_grid")
-        if ulysses_axis or ring_axis:
+        if ring_axis:
             raise NotImplementedError(
-                "STA under sequence parallelism is not supported yet: the "
-                "tile neighborhood spans shard boundaries; use attn_mode="
-                "'flash' for multi-chip runs")
-        from .sta import sta_joint_attention
+                "STA under ring sequence parallelism is not supported: the "
+                "tile neighborhood spans the rotating K/V shards; use pure "
+                "Ulysses (ring_degree=1) or attn_mode='flash'")
+        if not ulysses_axis:
+            from .sta import sta_joint_attention
 
-        # "sta_int8" = STA with in-kernel int8 QK^T; needs the static score
-        # bound, which _bound_mode grants whenever QK-norm is on
-        return sta_joint_attention(
-            img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
-            grid=tuple(token_grid), tile=tuple(sta_tile),
-            window=tuple(sta_window), scale=scale, bound_mode=bound_mode,
-            qk_int8=(mode == "sta_int8"), score_bound=score_bound)
+            # "sta_int8" = STA with in-kernel int8 QK^T; needs the static
+            # score bound, which _bound_mode grants whenever QK-norm is on
+            return sta_joint_attention(
+                img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
+                grid=tuple(token_grid), tile=tuple(sta_tile),
+                window=tuple(sta_window), scale=scale, bound_mode=bound_mode,
+                qk_int8=(mode == "sta_int8"), score_bound=score_bound)
+        # STA under pure Ulysses: fall through to usp_joint_attention,
+        # which runs the same STA kernel per device after the head-scatter
+        # gathers the full sequence (token_grid = the GLOBAL patch grid).
     if ulysses_axis or ring_axis:
         from ..parallel.sp_attention import usp_joint_attention
 
         return usp_joint_attention(
             img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
             ulysses_axis=ulysses_axis, ring_axis=ring_axis, scale=scale,
-            attn_mode=mode, bound_mode=bound_mode, score_bound=score_bound)
+            attn_mode=mode, bound_mode=bound_mode, score_bound=score_bound,
+            token_grid=token_grid, sta_tile=sta_tile, sta_window=sta_window)
     img_len = img_q.shape[1]
     q = jnp.concatenate([img_q, txt_q], axis=1)
     k = jnp.concatenate([img_k, txt_k], axis=1)

@@ -35,9 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *, scale: float, nk: int,
-                  n_sub: int):
+def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref, *rest,
+                  scale: float, nk: int, n_sub: int,
+                  with_stats: bool = False):
     """One (batch, head, q-block) x k-block grid step.
 
     The k block is processed as `n_sub` independent sub-tiles whose QK^T /
@@ -45,7 +45,16 @@ def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref,
     update, giving the scheduler room to overlap VPU softmax work of one
     sub-tile with MXU dots of the next (measured ~+8% vs a single tile at
     67k tokens).
+
+    with_stats: two extra [1, block_q, 1] outputs receive the final row
+    max m and denominator l — the partial-softmax state that lets ring
+    sequence parallelism merge per-shard kernel results
+    (parallel/sp_attention.py).
     """
+    if with_stats:
+        m_o_ref, l_o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
@@ -94,11 +103,14 @@ def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref,
     def _finish():
         denom = jnp.maximum(l_scr[...][:, :1], 1e-37)
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+        if with_stats:
+            m_o_ref[0] = m_scr[...][:, :1]
+            l_o_ref[0] = l_scr[...][:, :1]
 
 
-def _flash_nomax_kernel(c_ref, kb_ref, q_ref, k_ref, v_ref, o_ref,
-                        l_scr, acc_scr, *, scale: float, nk: int,
-                        n_sub: int):
+def _flash_nomax_kernel(c_ref, kb_ref, q_ref, k_ref, v_ref, o_ref, *rest,
+                        scale: float, nk: int, n_sub: int,
+                        with_stats: bool = False):
     """Softmax with a *static* per-(batch, head) exponent offset C instead
     of the running row max.
 
@@ -110,7 +122,15 @@ def _flash_nomax_kernel(c_ref, kb_ref, q_ref, k_ref, v_ref, o_ref,
     2C << 88 (fp32 exp range). The caller guarantees C bounds the scores
     (Cauchy-Schwarz on row norms) and falls back to the running-max kernel
     otherwise. exp/sum/P.V of one sub-tile overlap the next sub-tile's
-    QK^T; no cross-tile state but the (l, acc) accumulators."""
+    QK^T; no cross-tile state but the (l, acc) accumulators.
+
+    with_stats: as in _flash_kernel; here the "row max" output is the
+    static offset C itself (the denominator is exp-offset by C, so
+    (m=C, l, out) is a valid partial-softmax state for merging)."""
+    if with_stats:
+        m_o_ref, l_o_ref, l_scr, acc_scr = rest
+    else:
+        l_scr, acc_scr = rest
     bi = pl.program_id(0)
     hi = pl.program_id(1)
     ki = pl.program_id(3)
@@ -144,13 +164,18 @@ def _flash_nomax_kernel(c_ref, kb_ref, q_ref, k_ref, v_ref, o_ref,
     def _finish():
         denom = jnp.maximum(l_scr[...][:, :1], 1e-37)
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+        if with_stats:
+            m_o_ref[0] = jnp.full_like(m_o_ref[0], c)
+            l_o_ref[0] = l_scr[...][:, :1]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "scale", "block_q", "block_k", "interpret"))
+    static_argnames=("heads", "scale", "block_q", "block_k", "interpret",
+                     "with_stats"))
 def _flash_nomax_packed(q, k, v, kb, c, heads: int, scale: float,
-                        block_q: int, block_k: int, interpret: bool):
+                        block_q: int, block_k: int, interpret: bool,
+                        with_stats: bool = False):
     """Static-offset variant of _flash_packed; c [B, H] f32 score bounds
     ride SMEM via scalar prefetch."""
     b, sq, hd = q.shape
@@ -162,8 +187,19 @@ def _flash_nomax_packed(q, k, v, kb, c, heads: int, scale: float,
     grid = (b, heads, nq, nk)
     n_sub = 4 if block_k % 512 == 0 else (2 if block_k % 256 == 0 else 1)
     kernel = functools.partial(_flash_nomax_kernel, scale=scale, nk=nk,
-                               n_sub=n_sub)
+                               n_sub=n_sub, with_stats=with_stats)
     flops = 4 * b * heads * sq * sk * d
+    o_spec = pl.BlockSpec((1, block_q, d),
+                          lambda bi, hi, qi, ki, cs: (bi, qi, hi))
+    o_shape = jax.ShapeDtypeStruct((b, sq, hd), q.dtype)
+    if with_stats:
+        stat_spec = pl.BlockSpec((1, block_q, 1),
+                                 lambda bi, hi, qi, ki, cs: (bi, qi, hi))
+        stat_shape = jax.ShapeDtypeStruct((b, sq, heads), jnp.float32)
+        out_specs = [o_spec, stat_spec, stat_spec]
+        out_shape = (o_shape, stat_shape, stat_shape)
+    else:
+        out_specs, out_shape = o_spec, o_shape
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -179,15 +215,13 @@ def _flash_nomax_packed(q, k, v, kb, c, heads: int, scale: float,
                 pl.BlockSpec((1, block_k, d),
                              lambda bi, hi, qi, ki, cs: (bi, ki, hi)),
             ],
-            out_specs=pl.BlockSpec(
-                (1, block_q, d),
-                lambda bi, hi, qi, ki, cs: (bi, qi, hi)),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+        out_shape=out_shape,
         # out overwrites q's buffer: each grid cell writes exactly the
         # (rows qi, head-columns hi) region whose q reads it has finished,
         # and no other cell touches that region — saves a full-sequence
@@ -207,9 +241,10 @@ def _flash_nomax_packed(q, k, v, kb, c, heads: int, scale: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "scale", "block_q", "block_k", "interpret"))
+    static_argnames=("heads", "scale", "block_q", "block_k", "interpret",
+                     "with_stats"))
 def _flash_packed(q, k, v, kb, heads: int, scale: float, block_q: int,
-                  block_k: int, interpret: bool):
+                  block_k: int, interpret: bool, with_stats: bool = False):
     """q/k/v [B, S, H*D] (padded), kb [B, 8, Sk] fp32 -> out [B, Sq, H*D].
 
     Head h = columns [h*d, (h+1)*d); selected purely by BlockSpec index
@@ -224,8 +259,19 @@ def _flash_packed(q, k, v, kb, heads: int, scale: float, block_q: int,
     grid = (b, heads, nq, nk)
     n_sub = 2 if block_k % 256 == 0 else 1
     kernel = functools.partial(_flash_kernel, scale=scale, nk=nk,
-                               n_sub=n_sub)
+                               n_sub=n_sub, with_stats=with_stats)
     flops = 4 * b * heads * sq * sk * d
+    o_spec = pl.BlockSpec((1, block_q, d),
+                          lambda bi, hi, qi, ki: (bi, qi, hi))
+    o_shape = jax.ShapeDtypeStruct((b, sq, hd), q.dtype)
+    if with_stats:
+        stat_spec = pl.BlockSpec((1, block_q, 1),
+                                 lambda bi, hi, qi, ki: (bi, qi, hi))
+        stat_shape = jax.ShapeDtypeStruct((b, sq, heads), jnp.float32)
+        out_specs = [o_spec, stat_spec, stat_spec]
+        out_shape = (o_shape, stat_shape, stat_shape)
+    else:
+        out_specs, out_shape = o_spec, o_shape
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -240,9 +286,8 @@ def _flash_packed(q, k, v, kb, heads: int, scale: float, block_q: int,
             pl.BlockSpec((1, block_k, d),
                          lambda bi, hi, qi, ki: (bi, ki, hi)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d),
-                               lambda bi, hi, qi, ki: (bi, qi, hi)),
-        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         input_output_aliases={1: 0},  # out overwrites q (see nomax variant)
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -271,8 +316,16 @@ def flash_attention(
     block_k: int = 2048,
     bound_mode: str = "auto",
     score_bound: Optional[jnp.ndarray] = None,
+    return_state: bool = False,
 ) -> jnp.ndarray:
     """Flash attention; q/k/v [B, S, H, D] -> [B, Sq, H*D].
+
+    return_state: also return the partial-softmax state (m, l), each
+    [B, Sq, H] fp32 — `out` is the softmax over THESE keys only and
+    (out, m, l) merges with other key shards' states via
+    `merge_flash_states` (the ring sequence-parallel hop,
+    parallel/sp_attention.py). With the static-offset kernel m is the
+    offset C (a valid state; see _flash_nomax_kernel).
 
     score_bound: optional precomputed upper bound on |q.k|*scale
     (broadcastable to [B, H], e.g. the analytic QK-RMSNorm bound
@@ -342,19 +395,49 @@ def flash_attention(
 
     if bound_mode == "static":
         out = _flash_nomax_packed(qp, kp, vp, kb, c, hh, float(scale),
-                                  block_q, block_k, interpret)
+                                  block_q, block_k, interpret, return_state)
     elif bound_mode == "running":
         out = _flash_packed(qp, kp, vp, kb, hh, float(scale), block_q,
-                            block_k, interpret)
+                            block_k, interpret, return_state)
     else:
         out = jax.lax.cond(
             jnp.max(c) < 40.0,
             lambda: _flash_nomax_packed(qp, kp, vp, kb, c, hh, float(scale),
-                                        block_q, block_k, interpret),
+                                        block_q, block_k, interpret,
+                                        return_state),
             lambda: _flash_packed(qp, kp, vp, kb, hh, float(scale), block_q,
-                                  block_k, interpret),
+                                  block_k, interpret, return_state),
         )
+    if return_state:
+        o, m, l = out
+        return o[:, :sq], m[:, :sq], l[:, :sq]
     return out[:, :sq]
+
+
+def merge_flash_states(s1, s2):
+    """Merge two partial-softmax flash states (out, m, l) over disjoint key
+    sets into one. out [B, Sq, H*D] (or [B, Sq, H, D]), m/l [B, Sq, H] fp32;
+    out_i must be normalized by its own l_i (what `return_state` yields).
+    Order-invariant up to fp round-off — the ring-hop fold."""
+    o1, m1, l1 = s1
+    o2, m2, l2 = s2
+    m = jnp.maximum(m1, m2)
+    a1 = jnp.exp(m1 - m) * l1
+    a2 = jnp.exp(m2 - m) * l2
+    l = a1 + a2
+    w1 = (a1 / jnp.maximum(l, 1e-37)).astype(jnp.float32)
+    w2 = (a2 / jnp.maximum(l, 1e-37)).astype(jnp.float32)
+    if o1.ndim == 3:  # [B, Sq, H*D]: expand head weights over D
+        b, sq_, hd_ = o1.shape
+        h = m1.shape[-1]
+        o1r = o1.reshape(b, sq_, h, hd_ // h)
+        o2r = o2.reshape(b, sq_, h, hd_ // h)
+        o = (o1r.astype(jnp.float32) * w1[..., None]
+             + o2r.astype(jnp.float32) * w2[..., None])
+        return o.reshape(b, sq_, hd_).astype(o1.dtype), m, l
+    o = (o1.astype(jnp.float32) * w1[..., None]
+         + o2.astype(jnp.float32) * w2[..., None])
+    return o.astype(o1.dtype), m, l
 
 
 def _round_up(x: int, m: int) -> int:

@@ -116,13 +116,22 @@ def usp_joint_attention(
     attn_mode: str = "auto",
     bound_mode: str = "auto",
     score_bound: Optional[jnp.ndarray] = None,
+    token_grid: Optional[Tuple[int, int, int]] = None,
+    sta_tile: Tuple[int, int, int] = (4, 8, 8),
+    sta_window: Tuple[int, int, int] = (3, 3, 3),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (img_out [B, S_loc, H*D] seq-sharded, txt_out [B, Lt, H*D]
     replicated). Must run inside shard_map with the given axis names.
 
     attn_mode reaches the local kernel only on the pure-Ulysses path
-    (ring_degree == 1) — including "flash_int8" (int8-QK). With ring > 1
-    the streaming ring recurrence below runs in bf16/fp32 regardless."""
+    (ring_degree == 1) — including "flash_int8" (int8-QK) and "sta"/
+    "sta_int8" (Sliding Tile Attention: after the head-scatter all_to_all
+    each device holds the FULL img sequence for its head group, in global
+    (t, h, w) order when token shards are contiguous ranges — see
+    parallel/sp_dit.py — so the single-device STA kernel applies per
+    device unchanged; `token_grid` is the GLOBAL patch grid). With ring > 1
+    the streaming ring recurrence below runs in bf16/fp32 regardless, and
+    STA raises (tile neighborhoods span the rotating K/V shards)."""
     b, _, h, d = img_q.shape
     lt = txt_q.shape[1]
     scale = scale if scale is not None else d ** -0.5
@@ -147,14 +156,25 @@ def usp_joint_attention(
     if r == 1:
         # Pure-Ulysses fast path (the production v5e-8 config): each device
         # holds the FULL sequence for its local heads — run the single-
-        # device flash/SDPA kernel directly instead of the streaming
+        # device flash/SDPA/STA kernel directly instead of the streaming
         # recurrence.
         from ..ops.attention import joint_attention
 
+        if attn_mode.startswith("sta"):
+            if token_grid is None:
+                raise ValueError("attn_mode='sta' under Ulysses requires "
+                                 "the global token_grid")
+            import numpy as _np
+
+            if int(_np.prod(token_grid)) != s_r:
+                raise ValueError(
+                    f"gathered sequence length {s_r} != prod(token_grid "
+                    f"{tuple(token_grid)}) — pass the GLOBAL patch grid")
         img_out, txt_out = joint_attention(
             img_q, img_k, img_v, txt_q_l, txt_k_l, txt_v_l, txt_bias,
             mode=attn_mode, scale=scale, bound_mode=bound_mode,
-            score_bound=score_bound)
+            score_bound=score_bound, token_grid=token_grid,
+            sta_tile=sta_tile, sta_window=sta_window)
         if u > 1:
             img_out = img_out.reshape(b, s_r, hl, d)
             img_out = lax.all_to_all(img_out, axis_name=ulysses_axis,
@@ -168,12 +188,51 @@ def usp_joint_attention(
     q = jnp.concatenate([img_q, txt_q_l], axis=1)  # [B, s_r + Lt, hl, D]
     sq = s_r + lt
 
-    # ---- fold replicated text K/V exactly once ----
-    state = _init_state(b, hl, sq, d)
-    state = _partial_attn(q, txt_k_l, txt_v_l, txt_bias, state, scale)
+    if attn_mode == "flash":
+        # Ring hops through the Pallas flash kernel: each hop runs the
+        # 85%-of-peak kernel over its K/V shard with `return_state`, and
+        # the (out, m, l) partial-softmax states merge pairwise
+        # (ops/flash_attention.py:merge_flash_states). Hop 0 folds the
+        # local img shard AND the replicated text keys (with the padding
+        # bias) in one kernel call; hops 1..r-1 rotate img K/V only.
+        from ..ops.flash_attention import flash_attention, merge_flash_states
 
-    # ---- ring rotation of img K/V ----
-    if r > 1:
+        kb0 = jnp.zeros((b, 1, 1, s_r), jnp.float32)
+        if txt_bias is not None:
+            kb0 = jnp.concatenate(
+                [kb0, txt_bias.astype(jnp.float32)], axis=-1)
+        else:
+            kb0 = jnp.concatenate(
+                [kb0, jnp.zeros((b, 1, 1, lt), jnp.float32)], axis=-1)
+        k0 = jnp.concatenate([img_k, txt_k_l], axis=1)
+        v0 = jnp.concatenate([img_v, txt_v_l], axis=1)
+        state = flash_attention(q, k0, v0, kb0, scale=scale,
+                                bound_mode=bound_mode,
+                                score_bound=score_bound, return_state=True)
+        perm = [(i, (i + 1) % r) for i in range(r)]
+
+        def ring_step(carry, _):
+            st, k_blk, v_blk = carry
+            k_blk = lax.ppermute(k_blk, ring_axis, perm)
+            v_blk = lax.ppermute(v_blk, ring_axis, perm)
+            st_i = flash_attention(q, k_blk, v_blk, None, scale=scale,
+                                   bound_mode=bound_mode,
+                                   score_bound=score_bound,
+                                   return_state=True)
+            return (merge_flash_states(st, st_i), k_blk, v_blk), None
+
+        (state, _, _), _ = lax.scan(
+            ring_step, (state, img_k, img_v), None, length=r - 1)
+        out = state[0].reshape(b, sq, hl, d)
+    else:
+        # Streaming XLA einsum recurrence — the fallback for modes without
+        # a stats-returning kernel (sdpa/auto; flash_int8's in-kernel int8
+        # QK has no state output).
+        # ---- fold replicated text K/V exactly once ----
+        state = _init_state(b, hl, sq, d)
+        state = _partial_attn(q, txt_k_l, txt_v_l, txt_bias, state, scale)
+
+        # ---- ring rotation of img K/V ----
         perm = [(i, (i + 1) % r) for i in range(r)]
 
         def ring_step(carry, _):
@@ -185,10 +244,8 @@ def usp_joint_attention(
 
         (state, _, _), _ = lax.scan(
             ring_step, (state, img_k, img_v), None, length=r)
-    else:
-        state = _partial_attn(q, img_k, img_v, None, state, scale)
 
-    out = _finish(state, img_v.dtype)  # [B, s_r + Lt, hl, D]
+        out = _finish(state, img_v.dtype)  # [B, s_r + Lt, hl, D]
     img_out, txt_out = out[:, :s_r], out[:, s_r:]
 
     # ---- Ulysses seq-scatter / head-gather back ----

@@ -7,9 +7,9 @@ supports fine-tuning the DiT: rectified-flow objective
 reference: hyvideo/diffusion/schedulers/scheduling_flow_match_discrete.py:236-242).
 
 Parallelism matches inference (parallel/sp_dit.py): params replicated,
-latents sharded on batch (dp) and latent-H (ulysses x ring); gradients are
-`lax.pmean`ed over every mesh axis, so the update is identical on all
-devices and params stay replicated.
+latents travel as flat patch tokens sharded on batch (dp) and tokens
+(ulysses x ring); gradients are `lax.pmean`ed over every mesh axis, so the
+update is identical on all devices and params stay replicated.
 """
 from __future__ import annotations
 
@@ -19,21 +19,24 @@ import optax
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .models.dit import dit_forward
+from .models.dit import dit_forward_tokens, patchify_raw
 from .models.dit_config import DiTConfig
 from .parallel.mesh import (DP_AXIS, RING_AXIS, SP_AXES, ULYSSES_AXIS,
                             ParallelConfig)
-from .parallel.sp_dit import _sp_cfg
+from .parallel.sp_dit import FREQ_SPEC, TOKEN_SPEC, _sp_cfg
 
 
 def flow_match_loss(params, x0, noise, t, pe, mask, pe2, f_cos, f_sin,
                     guidance, cfg: DiTConfig):
-    """Per-shard rectified-flow MSE. t in [0, 1]."""
-    sigma = t[:, None, None, None, None].astype(jnp.float32)
+    """Per-shard rectified-flow MSE on token-form latents
+    ([B, L(_loc), C*ppp]; the interpolation, target, and MSE are all
+    token-pointwise, so the sharded mean pmean's to the global mean —
+    shards are equal-sized). t in [0, 1]."""
+    sigma = t[:, None, None].astype(jnp.float32)
     x_t = (1.0 - sigma) * x0.astype(jnp.float32) + sigma * noise.astype(jnp.float32)
     v_target = noise.astype(jnp.float32) - x0.astype(jnp.float32)
-    v = dit_forward(params, x_t, t * 1000.0, pe, mask, pe2,
-                    f_cos, f_sin, guidance, cfg=cfg)
+    v = dit_forward_tokens(params, x_t, t * 1000.0, pe, mask, pe2,
+                           f_cos, f_sin, guidance, cfg=cfg)
     return jnp.mean((v.astype(jnp.float32) - v_target) ** 2)
 
 
@@ -43,19 +46,17 @@ def make_sp_train_step(mesh: Mesh, cfg: DiTConfig, pcfg: ParallelConfig,
     (params, x0, noise, t, pe, mask, pe2, f_cos_grid, f_sin_grid)
       -> (new_params, loss).
 
-    x0/noise sharded [dp, -, -, sp, -]; RoPE grids sharded on Hp; text and
-    params replicated. Blocks are rematerialized (jax.checkpoint via
-    cfg.remat_blocks) to keep activation memory flat in depth.
+    Inputs keep the 5D latent + grid-RoPE API; they are flattened to the
+    token-sharded layout (parallel/sp_dit.py) inside the jitted wrapper.
+    Text and params replicated. Blocks are rematerialized (jax.checkpoint
+    via cfg.remat_blocks) to keep activation memory flat in depth.
     """
     from dataclasses import replace
 
     cfg_l = replace(_sp_cfg(cfg, pcfg), remat_blocks=True)
     axes = (DP_AXIS, ULYSSES_AXIS, RING_AXIS)
 
-    def step(params, x0, noise, t, pe, mask, pe2, f_cos_grid, f_sin_grid):
-        d = f_cos_grid.shape[-1]
-        f_cos = f_cos_grid.reshape(-1, d)
-        f_sin = f_sin_grid.reshape(-1, d)
+    def step(params, x0, noise, t, pe, mask, pe2, f_cos, f_sin):
         guidance = (jnp.full((x0.shape[0],), 1000.0, jnp.float32)
                     if cfg_l.guidance_embed else None)
         loss, grads = jax.value_and_grad(flow_match_loss)(
@@ -68,18 +69,24 @@ def make_sp_train_step(mesh: Mesh, cfg: DiTConfig, pcfg: ParallelConfig,
             params, grads)
         return new_params, loss
 
-    x_spec = P(DP_AXIS, None, None, SP_AXES, None)
     rep = P()
     batch_spec = P(DP_AXIS)
-    freq_spec = P(None, SP_AXES, None, None)
     sharded = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(rep, x_spec, x_spec, batch_spec, batch_spec, batch_spec,
-                  batch_spec, freq_spec, freq_spec),
+        in_specs=(rep, TOKEN_SPEC, TOKEN_SPEC, batch_spec, batch_spec,
+                  batch_spec, batch_spec, FREQ_SPEC, FREQ_SPEC),
         out_specs=(rep, rep),
         check_vma=False,
     )
-    return jax.jit(sharded)
+
+    def wrapper(params, x0, noise, t, pe, mask, pe2, f_cos_grid, f_sin_grid):
+        d = f_cos_grid.shape[-1]
+        return sharded(params, patchify_raw(x0, cfg.patch_size),
+                       patchify_raw(noise, cfg.patch_size), t, pe, mask,
+                       pe2, f_cos_grid.reshape(-1, d),
+                       f_sin_grid.reshape(-1, d))
+
+    return jax.jit(wrapper)
 
 
 def make_sp_train_step_optax(mesh: Mesh, cfg: DiTConfig,
@@ -97,8 +104,8 @@ def make_sp_train_step_optax(mesh: Mesh, cfg: DiTConfig,
               f_cos_grid, f_sin_grid) -> (new_params, new_state, loss)
 
     Sharding matches make_sp_train_step: params/opt_state/ema replicated,
-    batch on dp, latent-H on ulysses x ring; grads pmean'd over the mesh so
-    the update is identical everywhere.
+    batch on dp, flat patch tokens on ulysses x ring; grads pmean'd over
+    the mesh so the update is identical everywhere.
 
     Mixed precision: when compute params are not fp32 (bf16 is the norm),
     the state carries an fp32 MASTER copy and the optimizer runs on it —
@@ -126,11 +133,7 @@ def make_sp_train_step_optax(mesh: Mesh, cfg: DiTConfig,
             "step": jnp.zeros((), jnp.int32),
         }
 
-    def step(params, state, x0, noise, t, pe, mask, pe2,
-             f_cos_grid, f_sin_grid):
-        d = f_cos_grid.shape[-1]
-        f_cos = f_cos_grid.reshape(-1, d)
-        f_sin = f_sin_grid.reshape(-1, d)
+    def step(params, state, x0, noise, t, pe, mask, pe2, f_cos, f_sin):
         guidance = (jnp.full((x0.shape[0],), 1000.0, jnp.float32)
                     if cfg_l.guidance_embed else None)
         loss, grads = jax.value_and_grad(flow_match_loss)(
@@ -156,15 +159,22 @@ def make_sp_train_step_optax(mesh: Mesh, cfg: DiTConfig,
             "master": (new_master if state["master"] is not None else None),
             "ema": ema, "step": state["step"] + 1}, loss
 
-    x_spec = P(DP_AXIS, None, None, SP_AXES, None)
     rep = P()
     batch_spec = P(DP_AXIS)
-    freq_spec = P(None, SP_AXES, None, None)
     sharded = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(rep, rep, x_spec, x_spec, batch_spec, batch_spec,
-                  batch_spec, batch_spec, freq_spec, freq_spec),
+        in_specs=(rep, rep, TOKEN_SPEC, TOKEN_SPEC, batch_spec, batch_spec,
+                  batch_spec, batch_spec, FREQ_SPEC, FREQ_SPEC),
         out_specs=(rep, rep, rep),
         check_vma=False,
     )
-    return jax.jit(sharded), init_fn
+
+    def wrapper(params, state, x0, noise, t, pe, mask, pe2,
+                f_cos_grid, f_sin_grid):
+        d = f_cos_grid.shape[-1]
+        return sharded(params, state, patchify_raw(x0, cfg.patch_size),
+                       patchify_raw(noise, cfg.patch_size), t, pe, mask,
+                       pe2, f_cos_grid.reshape(-1, d),
+                       f_sin_grid.reshape(-1, d))
+
+    return jax.jit(wrapper), init_fn

@@ -74,7 +74,8 @@ def test_dit_training_grad_through_flash():
     (tiny shapes, interpret mode) and matches the sdpa-mode gradients."""
     from dataclasses import replace
 
-    from hunyuanvideo_efficiency_tpu.models.dit import init_dit_params
+    from hunyuanvideo_efficiency_tpu.models.dit import (init_dit_params,
+                                                        patchify_raw)
     from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
     from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
     from hunyuanvideo_efficiency_tpu.training import flow_match_loss
@@ -85,7 +86,10 @@ def test_dit_training_grad_through_flash():
                     attn_mode="sdpa")
     params = init_dit_params(jax.random.PRNGKey(0), cfg)
     ks = jax.random.split(jax.random.PRNGKey(1), 5)
-    x0 = jax.random.normal(ks[0], (1, 16, 2, 4, 4), jnp.float32)
+    # flow_match_loss runs on token-form latents (parallel/sp_dit.py layout)
+    x0 = patchify_raw(
+        jax.random.normal(ks[0], (1, 16, 2, 4, 4), jnp.float32),
+        cfg.patch_size)
     noise = jax.random.normal(ks[1], x0.shape, jnp.float32)
     t = jnp.full((1,), 0.4, jnp.float32)
     pe = jax.random.normal(ks[2], (1, 8, 32), jnp.float32)
