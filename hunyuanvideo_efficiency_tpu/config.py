@@ -126,8 +126,10 @@ class InferenceArgs:
     use_int4_modulation: bool = False
     # False = drive the denoise loop from the host, one dispatch per step
     # (progress feedback; required where the runtime bounds on-device
-    # program duration). True = single fused lax.scan program.
-    scan_denoise: bool = True
+    # program duration). True = single fused lax.scan program. None (the
+    # default) = decide from the runtime: fuse where unconstrained, chunk
+    # to fit a program-duration watchdog (diffusion/dispatch.py).
+    scan_denoise: Optional[bool] = None
     # Accepted for reference-flag compatibility (config.py:355-359, threads
     # into text-encoder do_sample there). Our stack is deterministic by
     # construction: explicit PRNG keys, greedy text encode, no sampling —
@@ -137,6 +139,11 @@ class InferenceArgs:
     # ---- parallel (reference config.py:364-381) ----
     ulysses_degree: int = 1
     ring_degree: int = 1
+    # Beyond-reference memory tier: shard the stacked DiT block weights
+    # over the sequence-parallel axes and re-gather them chunk-by-chunk in
+    # the forward (the reference replicates the 13B on every rank) —
+    # ~1/sp persistent weight HBM per chip at a bounded ICI cost.
+    shard_dit_weights: bool = False
 
     # ---- TPU-native additions (no reference analog) ----
     mesh_shape: Optional[str] = None  # e.g. "sp:8" or "dp:2,sp:4"
@@ -238,6 +245,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--ulysses-degree", type=int, default=d.ulysses_degree)
     g.add_argument("--ring-degree", type=int, default=d.ring_degree)
     g.add_argument("--mesh-shape", type=str, default=None)
+    _add_bool_flag(p, "shard-dit-weights", d.shard_dit_weights)
     g.add_argument("--profile-dir", type=str, default=None)
     g.add_argument("--attn-mode", type=str, default=d.attn_mode,
                    choices=["auto", "flash", "flash_int8", "sdpa",

@@ -5,10 +5,10 @@ Reference comparison point: 1,904 s end-to-end on ONE 80 GB GPU
 (/root/reference/README.md:408-431, same resolution/frames/steps). This
 drives the identical workload on one 15.75 GB TPU v5e: 13B DiT with int8
 W8A8 linears + int4 modulation + bf16-stored refiner, sliding-tile
-attention (attn_mode=sta, bf16 QK — the fastest measured variant), staged
-host-driven dispatch
-(scan_denoise=False, block_chunks=(4, 6)) so every on-device program stays
-under this environment's ~60 s watchdog, sequential DiT<->VAE offload, and
+attention (attn_mode=sta, bf16 QK — the fastest measured variant), the
+dispatch plan chosen by diffusion/dispatch.py:plan_dispatch (per-step
+monolithic for STA; block-chunked for dense — every on-device program stays
+under this environment's ~60 s watchdog), sequential DiT<->VAE offload, and
 uniform-tile VAE decode.
 
 Weights are random (timing, not quality): text embeddings are precomputed
@@ -49,14 +49,23 @@ def main():
     from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
 
     h, w, f = args.height, args.width, args.frames
-    dc, sc = 4, 6
     cfg = load_dit_config("HYVideo-T/2-cfgdistill", attn_mode="sta",
                           mlp_chunk_tokens=4096, seq_pad_multiple=1024,
                           attn_head_chunks=4)
+    # runtime-aware dispatch: the pipeline auto-plans identically when
+    # scan_denoise is left unset; we need the plan here only because the
+    # staged param layout (chunked stacks) must match block_chunks
+    from hunyuanvideo_efficiency_tpu.diffusion.dispatch import plan_dispatch
+
+    shape = (1, cfg.in_channels, (f - 1) // 4 + 1, h // 8, w // 8)
+    plan = plan_dispatch(cfg, shape, num_steps=args.steps)
+    print(f"# dispatch plan: scan={plan.scan_denoise} "
+          f"chunks={plan.block_chunks} est {plan.est_step_s:.1f} s/step",
+          file=sys.stderr)
     t0 = time.perf_counter()
     params = build_fp8_params(cfg, jnp.bfloat16, quant="int8",
                               quant_refiner=True, int4_modulation=True,
-                              block_chunks=(dc, sc))
+                              block_chunks=plan.block_chunks or (1, 1))
     t_params = time.perf_counter() - t0
     print(f"# params built in {t_params:.1f} s", file=sys.stderr)
 
@@ -103,7 +112,6 @@ def main():
         num_inference_steps=args.steps, guidance_scale=1.0,
         embedded_guidance_scale=6.0, freqs_cis=freqs,
         key=jax.random.PRNGKey(42), enable_tiling=True,
-        scan_denoise=False, block_chunks=(dc, sc),
         progress_callback=progress)
     t_total = time.perf_counter() - t1
     t_denoise = steps_done[-1] - t1
