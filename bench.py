@@ -230,6 +230,131 @@ def run_one(height, width, frames, sta=False, int8=False, attn_int8=False,
     }))
 
 
+def parse_mesh_spec(spec: str):
+    """'dp:1,ulysses:8' / 'dp:2,ulysses:2,ring:2' -> ParallelConfig."""
+    from hunyuanvideo_efficiency_tpu.parallel import ParallelConfig
+
+    kv = dict(part.split(":") for part in spec.split(","))
+    return ParallelConfig(dp_degree=int(kv.get("dp", 1)),
+                          ulysses_degree=int(kv.get("ulysses", 1)),
+                          ring_degree=int(kv.get("ring", 1)))
+
+
+def run_mesh(spec: str, height=720, width=1280, frames=129, steps=5,
+             virtual=False):
+    """--mesh mode: the SAME bench JSON line, but through the sequence-
+    parallel sharded denoise wired into the public pipeline
+    (diffusion/pipeline.py:_denoise_sharded -> parallel/sp_dit.py).
+
+    With --virtual (the only option until multi-chip TPU hardware is
+    attached): an 8-device virtual CPU mesh drives a tiny-tower model —
+    correctness-only certification that one flag away from real hardware
+    the sharded path executes end-to-end. On a real multi-chip TPU it runs
+    the full 13B int8 STA config and reports vs the reference's 8-GPU
+    6.75 s/step (BASELINE.md:11-12, 337.58 s E2E / 50).
+    """
+    if virtual:
+        import os
+
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from hunyuanvideo_efficiency_tpu.diffusion.pipeline import (
+        HunyuanVideoPipeline)
+    from hunyuanvideo_efficiency_tpu.diffusion.scheduler import (
+        FlowMatchDiscreteScheduler)
+    from hunyuanvideo_efficiency_tpu.models.dit import init_dit_params
+    from hunyuanvideo_efficiency_tpu.models.vae import (AutoencoderKLCausal3D,
+                                                        init_vae_params)
+    from hunyuanvideo_efficiency_tpu.models.vae_config import VAEConfig
+    from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
+    from hunyuanvideo_efficiency_tpu.parallel import make_mesh
+
+    pcfg = parse_mesh_spec(spec)
+    mesh = make_mesh(pcfg)
+
+    if virtual:
+        from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+
+        cfg = DiTConfig(hidden_size=128, heads_num=4,
+                        mm_double_blocks_depth=2, mm_single_blocks_depth=2,
+                        rope_dim_list=(8, 12, 12), text_states_dim=64,
+                        text_states_dim_2=32, guidance_embed=True,
+                        attn_mode="sdpa")
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        height, width, frames = 64, 128, 5
+        vcfg = VAEConfig(block_out_channels=(32, 32, 64, 64),
+                         layers_per_block=1)
+        vae = AutoencoderKLCausal3D(
+            vcfg, init_vae_params(jax.random.PRNGKey(1), vcfg))
+    else:
+        from hunyuanvideo_efficiency_tpu.models.dit_config import (
+            load_dit_config)
+
+        cfg = load_dit_config("HYVideo-T/2-cfgdistill", attn_mode="sta",
+                              mlp_chunk_tokens=4096, seq_pad_multiple=1024,
+                              attn_head_chunks=4)
+        params = build_fp8_params(cfg, jnp.bfloat16, quant="int8",
+                                  quant_refiner=True, int4_modulation=True)
+        vcfg = VAEConfig()
+        vae = AutoencoderKLCausal3D(
+            vcfg, init_vae_params(jax.random.PRNGKey(1), vcfg,
+                                  jnp.bfloat16), dtype=jnp.bfloat16)
+        vae.uniform_tiles = True
+
+    pipe = HunyuanVideoPipeline(
+        vae=vae, text_encoder=None, text_encoder_2=None,
+        transformer_params=params, transformer_cfg=cfg,
+        scheduler=FlowMatchDiscreteScheduler(shift=7.0, reverse=True),
+        mesh=mesh, pcfg=pcfg)
+
+    t_lat = (frames - 1) // 4 + 1
+    grid = (t_lat, height // 8 // 2, width // 8 // 2)
+    freqs = get_nd_rotary_pos_embed(cfg.rope_dim_list, grid,
+                                    theta=cfg.rope_theta)
+    b, lt = pcfg.dp_degree, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    pe = jax.random.normal(ks[0], (b, lt, cfg.text_states_dim), jnp.float32)
+    mask = jnp.ones((b, lt), jnp.int32)
+    pe2 = jax.random.normal(ks[1], (b, cfg.text_states_dim_2), jnp.float32)
+
+    def run():
+        return pipe(prompt_embeds=pe, prompt_mask=mask, prompt_embeds_2=pe2,
+                    height=height, width=width, video_length=frames,
+                    num_inference_steps=steps, guidance_scale=1.0,
+                    embedded_guidance_scale=6.0, freqs_cis=freqs,
+                    key=jax.random.PRNGKey(42), output_type="latent",
+                    enable_tiling=not virtual)
+
+    out = run()  # compile + warm
+    assert np.isfinite(out.videos).all()
+    t0 = time.perf_counter()
+    out = run()
+    assert np.isfinite(out.videos).all()
+    sec = (time.perf_counter() - t0) / steps
+
+    world = pcfg.world_size
+    if virtual:
+        print(json.dumps({
+            "metric": f"sharded predict {spec} (virtual CPU mesh, "
+                      "correctness-only)",
+            "value": round(sec, 4), "unit": "s/step",
+            "vs_baseline": 0.0}))
+    else:
+        # reference 8-GPU: 337.58 s E2E / 50 steps = 6.75 s/step
+        ref = REF_SEC * (5.64 / 8 * world) ** -1 if world else REF_SEC
+        print(json.dumps({
+            "metric": f"sec/denoise-step 13B int8 sta {width}x{height}x"
+                      f"{frames}f mesh {spec}",
+            "value": round(sec, 3), "unit": "s",
+            "vs_baseline": round(ref / sec, 3)}))
+
+
 def probe_device(timeout_s: int = 600) -> bool:
     """Fast health check: a trivial matmul in a subprocess. The tunneled TPU
     backend hangs indefinitely (not errors) when the relay is down, so an
@@ -301,7 +426,21 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--config":
+    if len(sys.argv) > 1 and sys.argv[1] == "--mesh":
+        # e.g. `python bench.py --mesh dp:1,ulysses:8 --virtual` — the
+        # sharded-predict bench (virtual CPU mesh: correctness-only;
+        # real multi-chip TPU: the 8-GPU-baseline comparison, BASELINE.md)
+        hh, ww, ff = 720, 1280, 129
+        if "--config" in sys.argv:
+            ci = sys.argv.index("--config")
+            hh, ww, ff = (int(sys.argv[ci + 1]), int(sys.argv[ci + 2]),
+                          int(sys.argv[ci + 3]))
+        steps = 5
+        if "--steps" in sys.argv:
+            steps = int(sys.argv[sys.argv.index("--steps") + 1])
+        run_mesh(sys.argv[2], height=hh, width=ww, frames=ff, steps=steps,
+                 virtual="--virtual" in sys.argv)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--config":
         staged = None
         if "--staged" in sys.argv:
             si = sys.argv.index("--staged")
