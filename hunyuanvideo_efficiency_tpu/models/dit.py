@@ -499,7 +499,8 @@ def double_block(p: Params, img: jnp.ndarray, txt: jnp.ndarray,
             mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
             ring_axis=cfg.ring_axis, token_grid=token_grid,
             sta_tile=cfg.sta_tile, sta_window=cfg.sta_window,
-            bound_mode=_bound_mode(cfg), score_bound=sbound)
+            bound_mode=_bound_mode(cfg), score_bound=sbound,
+            flash_ring_kernel=cfg.flash_ring_kernel)
         img_po = linear(p["img_attn_proj"], img_attn)
         txt_po = linear(p["txt_attn_proj"], txt_attn)
 
@@ -640,7 +641,8 @@ def single_block(p: Params, x: jnp.ndarray, vec: jnp.ndarray,
             mode=cfg.attn_mode, ulysses_axis=cfg.ulysses_axis,
             ring_axis=cfg.ring_axis, token_grid=token_grid,
             sta_tile=cfg.sta_tile, sta_window=cfg.sta_window,
-            bound_mode=_bound_mode(cfg), score_bound=sbound)
+            bound_mode=_bound_mode(cfg), score_bound=sbound,
+            flash_ring_kernel=cfg.flash_ring_kernel)
         attn = jnp.concatenate([img_attn, txt_attn], axis=1)
         out = linear(_row_slice(p["linear2"], 0, cfg.hidden_size,
                                 keep_bias=True), attn)

@@ -34,6 +34,11 @@ class DiTConfig:
     # shard_map (see parallel/sp_dit.py). None = single-device attention.
     ulysses_axis: Optional[str] = None
     ring_axis: Optional[str] = None
+    # Ring hops through the Pallas flash kernel (merge_flash_states fold).
+    # The raw kernel has no JVP rule, so training (make_sp_train_step)
+    # turns this off and ring hops fold through the differentiable einsum
+    # recurrence instead; inference keeps kernel-speed hops.
+    flash_ring_kernel: bool = True
     # Token-chunked MLP branches: bounds the [L, mlp_hidden] transient so
     # 720p-class token counts fit one chip. None = unchunked.
     mlp_chunk_tokens: Optional[int] = None

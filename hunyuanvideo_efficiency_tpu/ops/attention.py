@@ -196,6 +196,7 @@ def joint_attention(
     sta_window=(3, 3, 3),
     bound_mode: str = "auto",
     score_bound: Optional[jnp.ndarray] = None,
+    flash_ring_kernel: bool = True,
 ):
     """Joint attention over [img | txt] tokens; returns (img_out, txt_out)
     each [B, S, H*D].
@@ -236,7 +237,8 @@ def joint_attention(
             img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
             ulysses_axis=ulysses_axis, ring_axis=ring_axis, scale=scale,
             attn_mode=mode, bound_mode=bound_mode, score_bound=score_bound,
-            token_grid=token_grid, sta_tile=sta_tile, sta_window=sta_window)
+            token_grid=token_grid, sta_tile=sta_tile, sta_window=sta_window,
+            flash_ring_kernel=flash_ring_kernel)
     img_len = img_q.shape[1]
     q = jnp.concatenate([img_q, txt_q], axis=1)
     k = jnp.concatenate([img_k, txt_k], axis=1)

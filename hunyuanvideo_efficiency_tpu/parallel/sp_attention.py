@@ -119,6 +119,7 @@ def usp_joint_attention(
     token_grid: Optional[Tuple[int, int, int]] = None,
     sta_tile: Tuple[int, int, int] = (4, 8, 8),
     sta_window: Tuple[int, int, int] = (3, 3, 3),
+    flash_ring_kernel: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (img_out [B, S_loc, H*D] seq-sharded, txt_out [B, Lt, H*D]
     replicated). Must run inside shard_map with the given axis names.
@@ -188,13 +189,15 @@ def usp_joint_attention(
     q = jnp.concatenate([img_q, txt_q_l], axis=1)  # [B, s_r + Lt, hl, D]
     sq = s_r + lt
 
-    if attn_mode == "flash":
+    if attn_mode == "flash" and flash_ring_kernel:
         # Ring hops through the Pallas flash kernel: each hop runs the
         # 85%-of-peak kernel over its K/V shard with `return_state`, and
         # the (out, m, l) partial-softmax states merge pairwise
         # (ops/flash_attention.py:merge_flash_states). Hop 0 folds the
         # local img shard AND the replicated text keys (with the padding
         # bias) in one kernel call; hops 1..r-1 rotate img K/V only.
+        # (Training sets flash_ring_kernel=False: the raw kernel has no
+        # JVP rule, so grads flow through the einsum recurrence below.)
         from ..ops.flash_attention import flash_attention, merge_flash_states
 
         kb0 = jnp.zeros((b, 1, 1, s_r), jnp.float32)

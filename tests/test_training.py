@@ -200,3 +200,23 @@ def test_bf16_params_train_via_fp32_master():
     # fp32 params take the master-free fast path
     params32 = init_dit_params(jax.random.PRNGKey(1), TINY)
     assert init_fn(params32)["master"] is None
+
+
+def test_train_step_with_flash_ring_grads():
+    """Training with attn_mode='flash' under ulysses x ring must
+    differentiate: the raw-kernel ring hops have no JVP rule, so the train
+    step routes ring folds through the einsum recurrence
+    (flash_ring_kernel=False) while inference keeps kernel hops."""
+    from dataclasses import replace
+
+    cfg = replace(TINY, attn_mode="flash")
+    pcfg = ParallelConfig(dp_degree=1, ulysses_degree=2, ring_degree=2)
+    mesh = make_mesh(pcfg)
+    step = make_sp_train_step(mesh, cfg, pcfg, lr=0.05)
+    params = init_dit_params(jax.random.PRNGKey(2), cfg)
+    x0, noise, pe, mask, pe2, cos_g, sin_g = _data(b=1)
+    t = jnp.full((1,), 0.5, jnp.float32)
+    params, l0 = step(params, x0, noise, t, pe, mask, pe2, cos_g, sin_g)
+    params, l1 = step(params, x0, noise, t, pe, mask, pe2, cos_g, sin_g)
+    assert np.isfinite([float(l0), float(l1)]).all()
+    assert float(l1) < float(l0)
