@@ -366,8 +366,10 @@ class HunyuanVideoPipeline:
             for i in range(int(timesteps.shape[0])):
                 tokens = fn(params, tokens, sigmas[i], sigmas[i + 1],
                             timesteps[i], pe, mask, pe2, f_cos, f_sin)
-                # serialize dispatches (see the single-device loop below)
-                jax.device_get(tokens.ravel()[0])
+                # serialize dispatches (see the single-device loop below);
+                # a single-ELEMENT slice, not ravel: reshaping the sharded
+                # carry could make GSPMD gather all shards every step
+                jax.device_get(tokens[0, 0, 0])
                 if progress_callback is not None:
                     progress_callback(i, tokens)
 

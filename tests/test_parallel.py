@@ -366,11 +366,12 @@ def _tiny_sampler_parts():
     return vae, llm, clip, params, dit_cfg
 
 
-@pytest.mark.parametrize("dp,u,r,gs,nv", [
-    (1, 2, 2, 1.0, 1),   # pure SP, no CFG
-    (2, 2, 1, 2.0, 2),   # dp + CFG (exercises the dp CFG batch reorder)
+@pytest.mark.parametrize("dp,u,r,gs,nv,scan", [
+    (1, 2, 2, 1.0, 1, True),    # pure SP, no CFG, fused sharded scan
+    (2, 2, 1, 2.0, 2, True),    # dp + CFG (exercises the dp batch reorder)
+    (1, 2, 2, 1.0, 1, False),   # host-driven per-step sharded dispatch
 ])
-def test_sp_predict_matches_single_device(dp, u, r, gs, nv):
+def test_sp_predict_matches_single_device(dp, u, r, gs, nv, scan):
     """`HunyuanVideoSampler.predict` on the 8-device CPU mesh == the
     single-device predict, same seeds — certifying the PUBLIC sharded
     product path (VERDICT r2 item 1 done-criterion)."""
@@ -379,7 +380,7 @@ def test_sp_predict_matches_single_device(dp, u, r, gs, nv):
 
     vae, llm, clip, params, dit_cfg = _tiny_sampler_parts()
     args = InferenceArgs(text_states_dim=64, text_states_dim_2=48,
-                         vae_tiling=False)
+                         vae_tiling=False, scan_denoise=scan)
 
     ref_sampler = HunyuanVideoSampler(args, vae, llm, clip, params, dit_cfg)
     ref = ref_sampler.predict("a cat", height=32, width=64, video_length=5,
