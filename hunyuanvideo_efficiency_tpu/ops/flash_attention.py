@@ -440,6 +440,108 @@ def merge_flash_states(s1, s2):
     return o.astype(o1.dtype), m, l
 
 
+# --------------------------------------------------------------------------
+# differentiable state-returning flash (ring sequence-parallel training)
+# --------------------------------------------------------------------------
+
+def _state_reference(q, k, v, key_bias, c, scale: float, k_chunk: int):
+    """Pure-XLA replica of the static-offset kernel's partial-softmax state
+    (out, m, l): p = exp(s*scale + bias - C), l = rowsum(p),
+    out = (p @ v) / max(l, 1e-37), m = C. Only used to *transpose* the
+    kernel in `flash_attention_state`'s backward — keys are folded in
+    k_chunk sub-blocks under jax.checkpoint so the recomputed fp32 score
+    block never exceeds [B, H, Sq, k_chunk] in either pass."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    qf = jnp.einsum("bqhd->bhqd", q).astype(jnp.float32) * scale
+    kb = key_bias.reshape(b, sk).astype(jnp.float32)
+    pad = (-sk) % k_chunk
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        kb = jnp.pad(kb, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    nc = (sk + pad) // k_chunk
+    kc = jnp.moveaxis(k.reshape(b, nc, k_chunk, h, d), 1, 0)
+    vc = jnp.moveaxis(v.reshape(b, nc, k_chunk, h, d), 1, 0)
+    bc = jnp.moveaxis(kb.reshape(b, nc, k_chunk), 1, 0)
+
+    def fold(carry, xs):
+        acc, l = carry
+        kb_, vb_, bb_ = xs
+        s = jnp.einsum("bhqd,bkhd->bhqk", qf, kb_.astype(jnp.float32))
+        p = jnp.exp(s + (bb_[:, None, None, :] - c[:, :, None, None]))
+        l = l + jnp.sum(p, axis=-1)
+        acc = acc + jnp.einsum("bhqk,bkhd->bhqd", p,
+                               vb_.astype(jnp.float32))
+        return (acc, l), None
+
+    init = (jnp.zeros((b, h, sq, d), jnp.float32),
+            jnp.zeros((b, h, sq), jnp.float32))
+    (acc, l), _ = jax.lax.scan(jax.checkpoint(fold), init, (kc, vc, bc))
+    out = acc / jnp.maximum(l, 1e-37)[..., None]
+    out = jnp.einsum("bhqd->bqhd", out).reshape(b, sq, h * d).astype(q.dtype)
+    m = jnp.broadcast_to(c[:, None, :], (b, sq, h)).astype(jnp.float32)
+    return out, m, jnp.einsum("bhq->bqh", l)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_state_diff(q, k, v, key_bias, c, scale: float, k_chunk: int):
+    return flash_attention(q, k, v, key_bias, scale=scale,
+                           bound_mode="static", score_bound=c,
+                           return_state=True)
+
+
+def _flash_state_diff_fwd(q, k, v, key_bias, c, scale, k_chunk):
+    return (_flash_state_diff(q, k, v, key_bias, c, scale, k_chunk),
+            (q, k, v, key_bias, c))
+
+
+def _flash_state_diff_bwd(scale, k_chunk, res, g):
+    q, k, v, key_bias, c = res
+    ref = functools.partial(_state_reference, scale=scale, k_chunk=k_chunk)
+    _, vjp = jax.vjp(ref, q, k, v, key_bias, c)
+    return vjp(g)
+
+
+_flash_state_diff.defvjp(_flash_state_diff_fwd, _flash_state_diff_bwd)
+
+
+def flash_attention_state(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    score_bound: Optional[jnp.ndarray] = None,
+    k_chunk: int = 2048,
+):
+    """Differentiable `flash_attention(..., return_state=True)` for the
+    static-offset kernel: the Pallas kernel runs the forward at full speed;
+    the backward transposes a pure-XLA replica (`_state_reference`) via
+    `jax.custom_vjp`, so ring sequence-parallel hops stay on the kernel in
+    training too (parallel/sp_attention.py; the reference trains nothing —
+    its ring hops are inference-only xfuser calls, attenion.py:159-212).
+
+    The offset C is stop_gradient'ed: the merged softmax is exactly
+    invariant to it, so its true loss gradient is zero — routing the
+    fp-noise-level vjp contribution into the QK-norm weights
+    (`_analytic_score_bound`) would only add noise. Requires the
+    static-offset regime (qk_norm); use the einsum recurrence for
+    running-max configs."""
+    b, sq, h, d = q.shape
+    scale = float(scale if scale is not None else d ** -0.5)
+    if score_bound is None:
+        qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
+        kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
+        c = jnp.max(qn, axis=1) * jnp.max(kn, axis=1) * scale
+    else:
+        c = jnp.broadcast_to(jnp.asarray(score_bound, jnp.float32), (b, h))
+    c = jax.lax.stop_gradient(c)
+    if key_bias is None:
+        key_bias = jnp.zeros((b, 1, 1, k.shape[1]), jnp.float32)
+    return _flash_state_diff(q, k, v, key_bias, c, scale, k_chunk)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

@@ -196,9 +196,24 @@ def usp_joint_attention(
         # (ops/flash_attention.py:merge_flash_states). Hop 0 folds the
         # local img shard AND the replicated text keys (with the padding
         # bias) in one kernel call; hops 1..r-1 rotate img K/V only.
-        # (Training sets flash_ring_kernel=False: the raw kernel has no
-        # JVP rule, so grads flow through the einsum recurrence below.)
-        from ..ops.flash_attention import flash_attention, merge_flash_states
+        # In the static-offset regime (qk_norm) the hops go through
+        # `flash_attention_state` — a custom-VJP wrapper, so this path
+        # also DIFFERENTIATES (kernel forward, chunked-XLA transpose).
+        # Running-max/auto configs use the raw kernel (no JVP rule);
+        # training those sets flash_ring_kernel=False and grads flow
+        # through the einsum recurrence below.
+        from ..ops.flash_attention import (flash_attention,
+                                           flash_attention_state,
+                                           merge_flash_states)
+
+        if bound_mode == "static":
+            flash_state = partial(flash_attention_state, scale=scale,
+                                  score_bound=score_bound)
+        else:
+            flash_state = partial(flash_attention, scale=scale,
+                                  bound_mode=bound_mode,
+                                  score_bound=score_bound,
+                                  return_state=True)
 
         kb0 = jnp.zeros((b, 1, 1, s_r), jnp.float32)
         if txt_bias is not None:
@@ -209,19 +224,14 @@ def usp_joint_attention(
                 [kb0, jnp.zeros((b, 1, 1, lt), jnp.float32)], axis=-1)
         k0 = jnp.concatenate([img_k, txt_k_l], axis=1)
         v0 = jnp.concatenate([img_v, txt_v_l], axis=1)
-        state = flash_attention(q, k0, v0, kb0, scale=scale,
-                                bound_mode=bound_mode,
-                                score_bound=score_bound, return_state=True)
+        state = flash_state(q, k0, v0, kb0)
         perm = [(i, (i + 1) % r) for i in range(r)]
 
         def ring_step(carry, _):
             st, k_blk, v_blk = carry
             k_blk = lax.ppermute(k_blk, ring_axis, perm)
             v_blk = lax.ppermute(v_blk, ring_axis, perm)
-            st_i = flash_attention(q, k_blk, v_blk, None, scale=scale,
-                                   bound_mode=bound_mode,
-                                   score_bound=score_bound,
-                                   return_state=True)
+            st_i = flash_state(q, k_blk, v_blk, None)
             return (merge_flash_states(st, st_i), k_blk, v_blk), None
 
         (state, _, _), _ = lax.scan(

@@ -54,9 +54,11 @@ def make_sp_train_step(mesh: Mesh, cfg: DiTConfig, pcfg: ParallelConfig,
     from dataclasses import replace
 
     cfg_l = replace(_sp_cfg(cfg, pcfg), remat_blocks=True,
-                    # raw-kernel ring hops have no JVP; grads use
-                    # the einsum ring recurrence
-                    flash_ring_kernel=False)
+                    # with qk_norm the static-offset hops differentiate
+                    # (flash_attention_state custom VJP); otherwise the
+                    # raw running-max kernel has no JVP — grads use the
+                    # einsum ring recurrence
+                    flash_ring_kernel=bool(cfg.qk_norm))
     axes = (DP_AXIS, ULYSSES_AXIS, RING_AXIS)
 
     def step(params, x0, noise, t, pe, mask, pe2, f_cos, f_sin):
@@ -119,9 +121,11 @@ def make_sp_train_step_optax(mesh: Mesh, cfg: DiTConfig,
     from dataclasses import replace
 
     cfg_l = replace(_sp_cfg(cfg, pcfg), remat_blocks=True,
-                    # raw-kernel ring hops have no JVP; grads use
-                    # the einsum ring recurrence
-                    flash_ring_kernel=False)
+                    # with qk_norm the static-offset hops differentiate
+                    # (flash_attention_state custom VJP); otherwise the
+                    # raw running-max kernel has no JVP — grads use the
+                    # einsum ring recurrence
+                    flash_ring_kernel=bool(cfg.qk_norm))
     axes = (DP_AXIS, ULYSSES_AXIS, RING_AXIS)
 
     def init_fn(params):

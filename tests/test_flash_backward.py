@@ -107,3 +107,84 @@ def test_dit_training_grad_through_flash():
     for a, b in zip(jax.tree.leaves(g_sdpa), jax.tree.leaves(g_flash)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3)
+
+
+class TestFlashStateVJP:
+    """`flash_attention_state`: differentiable partial-softmax states
+    (ring sequence-parallel training hops, parallel/sp_attention.py)."""
+
+    def test_primal_matches_kernel(self):
+        from hunyuanvideo_efficiency_tpu.ops.flash_attention import (
+            _state_reference, flash_attention, flash_attention_state)
+
+        q, k, v, bias = _data(s=200, seed=3)
+        bound = jnp.asarray(6.0, jnp.float32)  # > max|s| for 0.5-scaled N(0,1)
+        o_k, m_k, l_k = flash_attention(
+            q, k, v, bias, bound_mode="static", score_bound=bound,
+            return_state=True)
+        o_w, m_w, l_w = flash_attention_state(q, k, v, bias,
+                                              score_bound=bound)
+        c = jnp.broadcast_to(bound, (q.shape[0], q.shape[2]))
+        o_r, m_r, l_r = _state_reference(
+            q, k, v, bias, c, float(q.shape[-1] ** -0.5), k_chunk=128)
+        for a, b_ in ((o_w, o_k), (m_w, m_k), (l_w, l_k),
+                      (o_r, o_k), (m_r, m_k), (l_r, l_k)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-3)
+
+    def test_merged_state_grads_match_dense(self):
+        """Two key shards folded via flash_attention_state +
+        merge_flash_states: value AND grads must equal dense softmax over
+        the concatenated keys (what a 2-hop ring computes)."""
+        from hunyuanvideo_efficiency_tpu.ops.flash_attention import (
+            flash_attention_state, merge_flash_states)
+
+        q, k, v, bias = _data(s=256, seed=5)
+        k1, k2 = k[:, :128], k[:, 128:]
+        v1, v2 = v[:, :128], v[:, 128:]
+        b1 = bias[..., :128] if bias is not None else None
+        b2 = bias[..., 128:] if bias is not None else None
+
+        def loss_ring(q, k1, v1, k2, v2):
+            s1 = flash_attention_state(q, k1, v1, b1, score_bound=8.0)
+            s2 = flash_attention_state(q, k2, v2, b2, score_bound=8.0)
+            out, _, _ = merge_flash_states(s1, s2)
+            return jnp.sum(jnp.sin(out) * 0.1)
+
+        def loss_ref(q, k1, v1, k2, v2):
+            o = sdpa_attention(q, jnp.concatenate([k1, k2], 1),
+                               jnp.concatenate([v1, v2], 1), bias=bias)
+            return jnp.sum(jnp.sin(o) * 0.1)
+
+        args = (q, k1, v1, k2, v2)
+        val_r, g_ring = jax.value_and_grad(loss_ring, argnums=(0, 1, 2, 3, 4))(*args)
+        val_d, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+        np.testing.assert_allclose(float(val_r), float(val_d),
+                                   rtol=1e-3, atol=1e-4)
+        for a, b_, name in zip(g_ring, g_ref, ("q", "k1", "v1", "k2", "v2")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=3e-3, atol=3e-3,
+                err_msg=f"grad mismatch for {name}")
+
+    def test_auto_bound_stop_gradient(self):
+        """With score_bound=None the norm-derived offset is
+        stop_gradient'ed — grads still match dense (offset cancels)."""
+        from hunyuanvideo_efficiency_tpu.ops.flash_attention import (
+            flash_attention_state)
+
+        q, k, v, _ = _data(s=128, txt=0, seed=7)
+
+        def loss_state(q, k, v):
+            out, _, _ = flash_attention_state(q, k, v, k_chunk=64)
+            return jnp.sum(jnp.cos(out) * 0.1)
+
+        def loss_ref(q, k, v):
+            o = sdpa_attention(q, k, v, bias=None)
+            return jnp.sum(jnp.cos(o) * 0.1)
+
+        g_s = jax.grad(loss_state, argnums=(0, 1, 2))(q, k, v)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_, name in zip(g_s, g_r, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=3e-3, atol=3e-3,
+                err_msg=f"grad mismatch for {name}")

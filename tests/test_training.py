@@ -204,9 +204,10 @@ def test_bf16_params_train_via_fp32_master():
 
 def test_train_step_with_flash_ring_grads():
     """Training with attn_mode='flash' under ulysses x ring must
-    differentiate: the raw-kernel ring hops have no JVP rule, so the train
-    step routes ring folds through the einsum recurrence
-    (flash_ring_kernel=False) while inference keeps kernel hops."""
+    differentiate. With qk_norm (static-offset regime) the ring hops stay
+    on the Pallas kernel via the `flash_attention_state` custom VJP
+    (kernel forward, chunked-XLA transpose); without qk_norm the train
+    step falls back to the einsum recurrence (flash_ring_kernel=False)."""
     from dataclasses import replace
 
     cfg = replace(TINY, attn_mode="flash")
