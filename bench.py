@@ -132,7 +132,8 @@ def build_fp8_params(cfg, dtype, quant="fp8", quant_refiner=False,
 
 
 def bench_step(height, width, frames, repeats=3, sta=False, int8=False,
-               attn_int8=False, staged=None, sta_int8=False):
+               attn_int8=False, staged=None, sta_int8=False,
+               int8_impl="xla"):
     """staged: None = one monolithic jitted forward; (dc, sc) = host-driven
     chunked dispatch (dit_forward_staged) so every on-device program stays
     under the tunneled runtime's ~60 s watchdog — the only way a 720p x 129f
@@ -143,8 +144,11 @@ def bench_step(height, width, frames, repeats=3, sta=False, int8=False,
     from functools import partial
 
     from hunyuanvideo_efficiency_tpu.models.dit import (dit_forward,
-                                                        dit_forward_staged)
+                                                        dit_forward_staged,
+                                                        set_int8_impl)
     from hunyuanvideo_efficiency_tpu.models.dit_config import load_dit_config
+
+    set_int8_impl(int8_impl)
 
     from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
 
@@ -211,10 +215,10 @@ REF_TOKENS = 118800 + 256
 
 
 def run_one(height, width, frames, sta=False, int8=False, attn_int8=False,
-            staged=None, sta_int8=False):
+            staged=None, sta_int8=False, int8_impl="xla"):
     sec, n_tok, hidden = bench_step(height, width, frames, sta=sta, int8=int8,
                                     attn_int8=attn_int8, staged=staged,
-                                    sta_int8=sta_int8)
+                                    sta_int8=sta_int8, int8_impl=int8_impl)
     ref_equiv = REF_SEC * (model_flops(n_tok, hidden)
                            / model_flops(REF_TOKENS, hidden))
     tag = ((" sta8" if sta_int8 else " sta" if sta else "")
@@ -448,6 +452,8 @@ if __name__ == "__main__":
         run_one(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
                 sta="--sta" in sys.argv, int8="--int8" in sys.argv,
                 attn_int8="--attn-int8" in sys.argv, staged=staged,
-                sta_int8="--sta-int8" in sys.argv)
+                sta_int8="--sta-int8" in sys.argv,
+                int8_impl=("pallas" if "--int8-pallas" in sys.argv
+                           else "xla"))
     else:
         main()

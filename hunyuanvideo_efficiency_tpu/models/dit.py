@@ -93,9 +93,35 @@ _INT8_CHUNK_TOKENS = 100_000
 
 _INT8_CHUNK_SIZE = 8192
 
+_INT8_IMPL = "xla"
+"""Which W8A8 implementation `linear()` dispatches for sequence-sized
+inputs: "xla" (_int8_linear_body, token-chunked when the s32 temp
+demands), "pallas" (ops/int8_matmul.int8_linear_pallas — quant, s8 dot
+and dequant fused per tile, so no full-size s32 temp exists and no
+chunking is needed), or "auto" (pallas on TPU, xla elsewhere — interpret-
+mode Pallas at model sizes would stall CPU hosts). Module-level because
+`linear()` carries no config; flip with set_int8_impl(). The default
+follows the on-chip measurement (scripts/int8_linear_bench.py,
+docs/KERNELS.md)."""
+
+
+def set_int8_impl(impl: str) -> None:
+    global _INT8_IMPL
+    if impl not in ("xla", "pallas", "auto"):
+        raise ValueError(f"int8 impl must be xla|pallas|auto, got {impl!r}")
+    _INT8_IMPL = impl
+
 
 def _int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     n_out = p["kernel"].shape[-1]
+    h = p["kernel"].shape[0]
+    rows = x.size // x.shape[-1]
+    use_pallas = _INT8_IMPL == "pallas" or (
+        _INT8_IMPL == "auto" and jax.default_backend() == "tpu")
+    if use_pallas and h % 128 == 0 and n_out % 128 == 0 and rows >= 1024:
+        from ..ops.int8_matmul import int8_linear_pallas
+
+        return int8_linear_pallas(p, x)
     if (x.ndim == 3 and x.shape[1] > _INT8_CHUNK_TOKENS
             and x.shape[1] * n_out * 4 > _INT8_TEMP_BUDGET):
         return _chunked_tokens(lambda u: _int8_linear_body(p, u), x,

@@ -61,6 +61,18 @@ def main():
     print(f"int8 W8A8 [{L}x{h}]@[{h}x{n}]: {t8 * 1e3:7.2f} ms "
           f"{flops / t8 / 1e12:6.1f} TOP/s")
 
+    from hunyuanvideo_efficiency_tpu.ops.int8_matmul import (
+        int8_linear_pallas)
+
+    for bl in (512, 1024, 2048):
+        for bn in (1536, 3072):
+            if bn > n:
+                continue
+            tp = timeit(chain(lambda p, u, bl=bl, bn=bn: int8_linear_pallas(
+                p, u, block_l=bl, block_n=bn)), p8, x)
+            print(f"pallas W8A8 bl={bl} bn={bn}:  {tp * 1e3:7.2f} ms "
+                  f"{flops / tp / 1e12:6.1f} TOP/s")
+
     tb = timeit(chain(lambda wt, u: u @ wt), w, x)
     print(f"bf16 matmul same shape:    {tb * 1e3:7.2f} ms "
           f"{flops / tb / 1e12:6.1f} TFLOP/s")

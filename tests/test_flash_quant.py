@@ -465,3 +465,27 @@ class TestFlashStaticOffset:
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+    def test_int8_impl_switch_routes_linear(self):
+        # linear() dispatches through set_int8_impl("pallas") for
+        # sequence-sized int8 matmuls and stays bit-compatible with the
+        # XLA path (models/dit._int8_linear routing gate)
+        from hunyuanvideo_efficiency_tpu.models import dit
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_tensor_int8)
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(5))
+        x = jax.random.normal(kx, (1, 1024, 256)).astype(jnp.bfloat16)
+        w = (jax.random.normal(kw, (256, 384)) / 16.0).astype(jnp.bfloat16)
+        p = quantize_tensor_int8(w)
+        ref = dit.linear(p, x)
+        dit.set_int8_impl("pallas")
+        try:
+            out = dit.linear(p, x)
+        finally:
+            dit.set_int8_impl("xla")
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+        with pytest.raises(ValueError):
+            dit.set_int8_impl("int2")
