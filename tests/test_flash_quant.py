@@ -444,7 +444,9 @@ class TestFlashStaticOffset:
         assert _analytic_score_bound(DiTConfig(qk_norm=False), 64, []) is None
 
     @pytest.mark.parametrize("L,h,n,bias", [(300, 256, 384, True),
-                                            (512, 256, 256, False)])
+                                            (512, 256, 256, False),
+                                            (256, 128, 512, True),
+                                            (200, 512, 128, False)])
     def test_int8_linear_pallas_matches_xla(self, L, h, n, bias):
         # the fused Pallas W8A8 kernel (ops/int8_matmul.py) must match the
         # XLA path bit-for-bit in quantization decisions (same amax/round)
@@ -489,3 +491,24 @@ class TestFlashStaticOffset:
                                    rtol=2e-2, atol=2e-2)
         with pytest.raises(ValueError):
             dit.set_int8_impl("int2")
+
+    def test_int8_linear_pallas_batch2(self):
+        # CFG runs [neg, pos] stacked as batch 2: the kernel flattens the
+        # leading dims into rows, so per-token scales must stay per-token
+        # across the batch boundary
+        from hunyuanvideo_efficiency_tpu.models.dit import _int8_linear_body
+        from hunyuanvideo_efficiency_tpu.ops.int8_matmul import (
+            int8_linear_pallas)
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_tensor_int8)
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(7))
+        x = jax.random.normal(kx, (2, 320, 256)).astype(jnp.bfloat16)
+        w = (jax.random.normal(kw, (256, 384)) / 16.0).astype(jnp.bfloat16)
+        p = quantize_tensor_int8(w)
+        ref = _int8_linear_body(p, x)
+        out = int8_linear_pallas(p, x)
+        assert out.shape == (2, 320, 384)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
