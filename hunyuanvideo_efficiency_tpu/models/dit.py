@@ -112,7 +112,11 @@ def set_int8_impl(impl: str) -> None:
     _INT8_IMPL = impl
 
 
-def _int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def _int8_linear(p: Params, x: jnp.ndarray,
+                 act: Optional[str] = None) -> jnp.ndarray:
+    """`act` (an ACT key) fuses into the Pallas store epilogue when the
+    kernel path fires; otherwise it is applied as a plain elementwise op
+    (which XLA fuses into the dequant epilogue anyway)."""
     n_out = p["kernel"].shape[-1]
     h = p["kernel"].shape[0]
     rows = x.size // x.shape[-1]
@@ -121,12 +125,13 @@ def _int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if use_pallas and h % 128 == 0 and n_out % 128 == 0 and rows >= 1024:
         from ..ops.int8_matmul import int8_linear_pallas
 
-        return int8_linear_pallas(p, x)
+        return int8_linear_pallas(p, x, act=act)
+    post = ACT[act] if act else (lambda y: y)
     if (x.ndim == 3 and x.shape[1] > _INT8_CHUNK_TOKENS
             and x.shape[1] * n_out * 4 > _INT8_TEMP_BUDGET):
-        return _chunked_tokens(lambda u: _int8_linear_body(p, u), x,
+        return _chunked_tokens(lambda u: post(_int8_linear_body(p, u)), x,
                                _INT8_CHUNK_SIZE)
-    return _int8_linear_body(p, x)
+    return post(_int8_linear_body(p, x))
 
 
 def _int8_linear_body(p: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -154,6 +159,10 @@ def _int8_linear_body(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def mlp(p: Params, x: jnp.ndarray, act: str) -> jnp.ndarray:
+    if p["fc1"]["kernel"].dtype == jnp.int8:
+        # fuse the activation into the W8A8 epilogue: no separate HBM
+        # pass over the [L, 4h] hidden (models/dit._int8_linear)
+        return linear(p["fc2"], _int8_linear(p["fc1"], x, act=act))
     return linear(p["fc2"], ACT[act](linear(p["fc1"], x)))
 
 

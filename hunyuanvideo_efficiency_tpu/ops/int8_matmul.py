@@ -28,8 +28,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# epilogue activations fusable into the kernel (VPU math on the f32 tile
+# before the bf16 store — saves one full HBM round trip over the [L, 4h]
+# MLP hidden vs a separate elementwise pass); keys match models/dit.ACT
+_EPILOGUE_ACTS = {
+    None: lambda y: y,
+    "gelu": lambda y: jax.nn.gelu(y, approximate=False),
+    "gelu_tanh": lambda y: jax.nn.gelu(y, approximate=True),
+    "relu": lambda y: jnp.maximum(y, 0.0),
+    "silu": jax.nn.silu,
+}
+
+
 def _w8a8_kernel(x_ref, w_ref, so_ref, b_ref, o_ref, q_scr, sx_scr, *,
-                 has_bias: bool, n_tiles_n: int):
+                 has_bias: bool, n_tiles_n: int, act: str | None):
     ni = pl.program_id(1)
 
     @pl.when(ni == 0)
@@ -47,12 +59,12 @@ def _w8a8_kernel(x_ref, w_ref, so_ref, b_ref, o_ref, q_scr, sx_scr, *,
     y = acc.astype(jnp.float32) * sx_scr[:, 0:1] * so_ref[0:1, :]
     if has_bias:
         y = y + b_ref[0:1, :]
-    o_ref[...] = y.astype(o_ref.dtype)
+    o_ref[...] = _EPILOGUE_ACTS[act](y).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_l", "block_n",
-                                             "interpret"))
-def _w8a8_call(x, w8, so, bias, block_l, block_n, interpret):
+                                             "interpret", "act"))
+def _w8a8_call(x, w8, so, bias, block_l, block_n, interpret, act=None):
     l, h = x.shape
     n = w8.shape[1]
     grid = (l // block_l, n // block_n)
@@ -74,7 +86,7 @@ def _w8a8_call(x, w8, so, bias, block_l, block_n, interpret):
 
     return pl.pallas_call(
         functools.partial(_w8a8_kernel, has_bias=has_bias,
-                          n_tiles_n=grid[1]),
+                          n_tiles_n=grid[1], act=act),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_l, block_n), lambda li, ni: (li, ni)),
@@ -88,9 +100,11 @@ def _w8a8_call(x, w8, so, bias, block_l, block_n, interpret):
     )(*args)
 
 
-def int8_linear_pallas(p, x, block_l: int = 512, block_n: int = 1536):
-    """y = dequant(quant(x) @ w8) for p = {'kernel': int8 [h, n],
+def int8_linear_pallas(p, x, block_l: int = 512, block_n: int = 1536,
+                       act: str | None = None):
+    """y = act(dequant(quant(x) @ w8)) for p = {'kernel': int8 [h, n],
     'scale_out': [..., 1, n] f32, 'bias'?: [n]}; x [..., L, h] bf16.
+    `act` (a models/dit.ACT key or None) fuses into the store epilogue.
 
     Pads L up to block_l and slices back; h and n must be multiples of the
     lane tiling (128), which all DiT projections satisfy. Falls back to the
@@ -109,7 +123,7 @@ def int8_linear_pallas(p, x, block_l: int = 512, block_n: int = 1536):
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
     interpret = jax.default_backend() != "tpu"
     out = _w8a8_call(xf, p["kernel"], p["scale_out"].reshape(n),
-                     p.get("bias"), block_l_eff, block_n, interpret)
+                     p.get("bias"), block_l_eff, block_n, interpret, act)
     if pad:
         out = out[:rows]
     return out.reshape(*lead, l, n)

@@ -512,3 +512,49 @@ class TestFlashStaticOffset:
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+    @pytest.mark.parametrize("act", ["gelu_tanh", "silu", "gelu", "relu"])
+    def test_int8_pallas_fused_act_matches_separate(self, act):
+        # the epilogue-fused activation must equal ACT(linear(x)) computed
+        # separately (ops/int8_matmul._EPILOGUE_ACTS)
+        from hunyuanvideo_efficiency_tpu.models.dit import (
+            ACT, _int8_linear_body)
+        from hunyuanvideo_efficiency_tpu.ops.int8_matmul import (
+            int8_linear_pallas)
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_tensor_int8)
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(11))
+        x = jax.random.normal(kx, (1, 300, 256)).astype(jnp.bfloat16)
+        w = (jax.random.normal(kw, (256, 384)) / 16.0).astype(jnp.bfloat16)
+        p = quantize_tensor_int8(w)
+        ref = ACT[act](_int8_linear_body(p, x).astype(jnp.float32))
+        out = int8_linear_pallas(p, x, act=act)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_mlp_pallas_impl_matches_xla(self):
+        # whole-MLP parity across impls: fc1(act-fused) -> fc2 under
+        # set_int8_impl("pallas") equals the default XLA path
+        from hunyuanvideo_efficiency_tpu.models import dit
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_tensor_int8)
+
+        ks = jax.random.split(jax.random.PRNGKey(13), 3)
+        x = jax.random.normal(ks[0], (1, 1024, 256)).astype(jnp.bfloat16)
+        p = {"fc1": quantize_tensor_int8(
+                 (jax.random.normal(ks[1], (256, 512)) / 16.0
+                  ).astype(jnp.bfloat16)),
+             "fc2": quantize_tensor_int8(
+                 (jax.random.normal(ks[2], (512, 256)) / 16.0
+                  ).astype(jnp.bfloat16))}
+        ref = dit.mlp(p, x, "gelu_tanh")
+        dit.set_int8_impl("pallas")
+        try:
+            out = dit.mlp(p, x, "gelu_tanh")
+        finally:
+            dit.set_int8_impl("xla")
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=4e-2, atol=4e-2)
