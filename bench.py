@@ -402,7 +402,8 @@ def main():
     # attempt 2 in case a tighter runtime kills the single program. The
     # dense-flash step only runs staged (74.7 s monolithic would be killed;
     # vs_baseline 0.51, recorded in PARITY.md).
-    # STA quality evidence: scripts/sta_quality.py forward-delta proxy.
+    # STA quality evidence: scripts/sta_quality_e2e.py measured 49.2 dB
+    # PSNR / 0.99976 SSIM vs the dense 50-step trajectory (PARITY.md).
     attempts = [
         (720, 1280, 129, ["--int8", "--sta"]),
         (720, 1280, 129, ["--int8", "--sta", "--staged", "4", "6"]),
