@@ -133,7 +133,7 @@ def build_fp8_params(cfg, dtype, quant="fp8", quant_refiner=False,
 
 def bench_step(height, width, frames, repeats=3, sta=False, int8=False,
                attn_int8=False, staged=None, sta_int8=False,
-               int8_impl="xla", mlp_chunk=None):
+               int8_impl="xla", mlp_chunk=None, head_chunks=None):
     """staged: None = one monolithic jitted forward; (dc, sc) = host-driven
     chunked dispatch (dit_forward_staged) so every on-device program stays
     under the tunneled runtime's ~60 s watchdog — the only way a 720p x 129f
@@ -159,7 +159,8 @@ def bench_step(height, width, frames, repeats=3, sta=False, int8=False,
                           mlp_chunk_tokens=mlp_chunk
                           or (4096 if big else 8192),
                           seq_pad_multiple=1024,
-                          attn_head_chunks=4 if big else 1)
+                          attn_head_chunks=(head_chunks if head_chunks
+                                            else 4 if big else 1))
     params = build_fp8_params(cfg, jnp.bfloat16,
                               quant="int8" if int8 else "fp8",
                               quant_refiner=big and int8,
@@ -216,11 +217,13 @@ REF_TOKENS = 118800 + 256
 
 
 def run_one(height, width, frames, sta=False, int8=False, attn_int8=False,
-            staged=None, sta_int8=False, int8_impl="xla", mlp_chunk=None):
+            staged=None, sta_int8=False, int8_impl="xla", mlp_chunk=None,
+            head_chunks=None):
     sec, n_tok, hidden = bench_step(height, width, frames, sta=sta, int8=int8,
                                     attn_int8=attn_int8, staged=staged,
                                     sta_int8=sta_int8, int8_impl=int8_impl,
-                                    mlp_chunk=mlp_chunk)
+                                    mlp_chunk=mlp_chunk,
+                                    head_chunks=head_chunks)
     ref_equiv = REF_SEC * (model_flops(n_tok, hidden)
                            / model_flops(REF_TOKENS, hidden))
     tag = ((" sta8" if sta_int8 else " sta" if sta else "")
@@ -459,6 +462,8 @@ if __name__ == "__main__":
                 int8_impl=("pallas" if "--int8-pallas" in sys.argv
                            else "xla"),
                 mlp_chunk=(int(sys.argv[sys.argv.index("--mlp-chunk") + 1])
-                           if "--mlp-chunk" in sys.argv else None))
+                           if "--mlp-chunk" in sys.argv else None),
+                head_chunks=(int(sys.argv[sys.argv.index("--head-chunks") + 1])
+                             if "--head-chunks" in sys.argv else None))
     else:
         main()

@@ -46,10 +46,10 @@ def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref, *rest,
     sub-tile with MXU dots of the next (measured ~+8% vs a single tile at
     67k tokens).
 
-    with_stats: two extra [1, block_q, 1] outputs receive the final row
-    max m and denominator l — the partial-softmax state that lets ring
-    sequence parallelism merge per-shard kernel results
-    (parallel/sp_attention.py).
+    with_stats: two extra (1, 1, 8, block_q) output blocks (array
+    [B, H, 8, Sq], sublane-broadcast) receive the final row max m and
+    denominator l — the partial-softmax state that lets ring sequence
+    parallelism merge per-shard kernel results (parallel/sp_attention.py).
     """
     if with_stats:
         m_o_ref, l_o_ref, m_scr, l_scr, acc_scr = rest
@@ -104,8 +104,19 @@ def _flash_kernel(kb_ref, q_ref, k_ref, v_ref, o_ref, *rest,
         denom = jnp.maximum(l_scr[...][:, :1], 1e-37)
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
         if with_stats:
-            m_o_ref[0] = m_scr[...][:, :1]
-            l_o_ref[0] = l_scr[...][:, :1]
+            m_o_ref[0, 0] = _col_to_rows(m_scr[...][:, :1])
+            l_o_ref[0, 0] = _col_to_rows(l_scr[...][:, :1])
+
+
+def _col_to_rows(col):
+    """[bq, 1] f32 -> [8, bq]: a tiny MXU dot (ones[8,1] x col^T) instead of
+    a sublane->lane relayout transpose. Used to store per-row softmax stats
+    into the TPU-legal (1, 1, 8, block_q) stat output blocks — a (1, bq, 1)
+    block (lane dim 1 over a head-count array axis) is rejected by the
+    Mosaic lowering."""
+    ones = jnp.ones((8, 1), jnp.float32)
+    return jax.lax.dot_general(ones, col, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def _flash_nomax_kernel(c_ref, kb_ref, q_ref, k_ref, v_ref, o_ref, *rest,
@@ -165,8 +176,8 @@ def _flash_nomax_kernel(c_ref, kb_ref, q_ref, k_ref, v_ref, o_ref, *rest,
         denom = jnp.maximum(l_scr[...][:, :1], 1e-37)
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
         if with_stats:
-            m_o_ref[0] = jnp.full_like(m_o_ref[0], c)
-            l_o_ref[0] = l_scr[...][:, :1]
+            m_o_ref[0, 0] = jnp.full_like(m_o_ref[0, 0], c)
+            l_o_ref[0, 0] = _col_to_rows(l_scr[...][:, :1])
 
 
 @functools.partial(
@@ -193,9 +204,12 @@ def _flash_nomax_packed(q, k, v, kb, c, heads: int, scale: float,
                           lambda bi, hi, qi, ki, cs: (bi, qi, hi))
     o_shape = jax.ShapeDtypeStruct((b, sq, hd), q.dtype)
     if with_stats:
-        stat_spec = pl.BlockSpec((1, block_q, 1),
-                                 lambda bi, hi, qi, ki, cs: (bi, qi, hi))
-        stat_shape = jax.ShapeDtypeStruct((b, sq, heads), jnp.float32)
+        # stats live [B, H, 8, Sq] inside the kernel (lane dim = block_q —
+        # a (1, block_q, 1) block over [B, Sq, H] is Mosaic-illegal) and
+        # are converted to the public [B, Sq, H] after the call
+        stat_spec = pl.BlockSpec((1, 1, 8, block_q),
+                                 lambda bi, hi, qi, ki, cs: (bi, hi, 0, qi))
+        stat_shape = jax.ShapeDtypeStruct((b, heads, 8, sq), jnp.float32)
         out_specs = [o_spec, stat_spec, stat_spec]
         out_shape = (o_shape, stat_shape, stat_shape)
     else:
@@ -236,6 +250,9 @@ def _flash_nomax_packed(q, k, v, kb, c, heads: int, scale: float,
             transcendentals=b * heads * sq * sk),
         interpret=interpret,
     )(c, kb, q, k, v)
+    if with_stats:
+        o, m, l = out
+        return o, m[:, :, 0].transpose(0, 2, 1), l[:, :, 0].transpose(0, 2, 1)
     return out
 
 
@@ -265,9 +282,10 @@ def _flash_packed(q, k, v, kb, heads: int, scale: float, block_q: int,
                           lambda bi, hi, qi, ki: (bi, qi, hi))
     o_shape = jax.ShapeDtypeStruct((b, sq, hd), q.dtype)
     if with_stats:
-        stat_spec = pl.BlockSpec((1, block_q, 1),
-                                 lambda bi, hi, qi, ki: (bi, qi, hi))
-        stat_shape = jax.ShapeDtypeStruct((b, sq, heads), jnp.float32)
+        # stats [B, H, 8, Sq] in-kernel, [B, Sq, H] outside (see nomax)
+        stat_spec = pl.BlockSpec((1, 1, 8, block_q),
+                                 lambda bi, hi, qi, ki: (bi, hi, 0, qi))
+        stat_shape = jax.ShapeDtypeStruct((b, heads, 8, sq), jnp.float32)
         out_specs = [o_spec, stat_spec, stat_spec]
         out_shape = (o_shape, stat_shape, stat_shape)
     else:
@@ -303,6 +321,9 @@ def _flash_packed(q, k, v, kb, heads: int, scale: float, block_q: int,
             transcendentals=b * heads * sq * sk),
         interpret=interpret,
     )(kb, q, k, v)
+    if with_stats:
+        o, m, l = out
+        return o, m[:, :, 0].transpose(0, 2, 1), l[:, :, 0].transpose(0, 2, 1)
     return out
 
 

@@ -356,21 +356,24 @@ def _sta_nomax_fused_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
-def _pick_head_block(heads: int, d: int, block: int, slot_block: int) -> int:
+def _pick_head_block(heads: int, d: int, block: int, slot_block: int,
+                     txt_tokens: int = 0) -> int:
     """Largest whole divisor of `heads` whose per-step working set fits a
     conservative VMEM budget. Bigger head groups fetch each K/V tile fewer
     times (head_block == heads fetches once per (tile, slot) instead of
     heads/hb times). On-chip sweep at 720p (24 heads, d=128, block=256,
-    slot_block=4): hb=24 90.5 ms (104.5 TFLOP/s) vs hb=8 94.0 ms."""
+    slot_block=4): hb=24 90.5 ms (104.5 TFLOP/s) vs hb=8 94.0 ms.
+    txt_tokens: resident text K/V operands of the direct kernel."""
     for hb in range(heads, 0, -1):
         if heads % hb:
             continue
         hb_d = hb * d
         # (K slots + V slots + q + out) bf16 blocks, double-buffered,
-        # plus f32 accumulator scratch
+        # plus f32 accumulator scratch and resident txt K/V
         step = (2 * slot_block + 2) * block * hb_d * 2
         scratch = block * hb_d * 4 + 2 * block * 128 * 4
-        if 2 * step + scratch <= 80 * 2 ** 20:
+        txt = 2 * txt_tokens * hb_d * 2
+        if 2 * step + scratch + txt <= 80 * 2 ** 20:
             return hb
     return 1
 
@@ -463,6 +466,230 @@ def _sta_call_nomax(nbr, kb, q, kcat, vcat, c, heads, scale, block, n_slots,
         interpret=interpret,
     )(nbr, nbr_dma, c, *([kb] * slot_block), q,
       *([kcat] * slot_block), *([vcat] * slot_block))
+    return out
+
+
+def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
+                             n_groups_img: int, slot_block: int,
+                             head_block: int, d: int, quant: bool,
+                             tile: Tuple[int, int, int],
+                             grid3: Tuple[int, int, int]):
+    """Direct-grid variant of _sta_nomax_fused_kernel.
+
+    q is read STRAIGHT from the row-major [B, T, H, W, hd] token grid as a
+    (1, tt, th, tw, hb_d) block and the output is written back the same way
+    — no tile-major permute of q and no un-permute of out ever exist in
+    HBM. Partial edge blocks are safe without masks: input padding garbage
+    only produces garbage in its own SCORE ROWS (softmax is row-local) and
+    those rows' output stores land in the masked-off pad region. Text keys/
+    values ride as small RESIDENT operands (index map constant in qi/g, so
+    Mosaic fetches them once per (batch, head-group)) folded in a dedicated
+    final grid group — kcat/vcat concatenated copies are gone too. K/V stay
+    in the zero-padded tile-major form (kp/vp): key-side garbage would
+    poison whole columns, so those two permutes remain (see
+    sta_joint_attention for the traffic accounting)."""
+    kb_refs = refs[:slot_block]
+    q_ref = refs[slot_block]
+    k_refs = refs[slot_block + 1:2 * slot_block + 1]
+    v_refs = refs[2 * slot_block + 1:3 * slot_block + 1]
+    tk_ref, tv_ref, tb_ref = refs[3 * slot_block + 1:3 * slot_block + 4]
+    o_ref = refs[3 * slot_block + 4]
+    l_scr, acc_scr = refs[3 * slot_block + 5:]
+
+    bi = pl.program_id(0)
+    hg = pl.program_id(1)
+    qi = pl.program_id(2)
+    g = pl.program_id(3)
+    block = tile[0] * tile[1] * tile[2]
+    hb_d = head_block * d
+
+    @pl.when(g == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # img slot groups: identical math to _sta_nomax_fused_kernel
+    if quant:
+        # partial edge q tiles carry unspecified pad rows; the tile-WIDE
+        # activation absmax would couple that garbage into every valid
+        # row's scale (bf16 garbage rows are harmless — score garbage is
+        # row-local — but a scalar scale is not). Zero invalid rows first.
+        tt_, th_, tw_ = tile
+        f = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+        toff = f // (th_ * tw_)
+        hoff = (f // tw_) % th_
+        woff = f % tw_
+        gh_ = _ceil(grid3[1], th_)
+        gw_ = _ceil(grid3[2], tw_)
+        vt = grid3[0] - (qi // (gh_ * gw_)) * tt_
+        vh = grid3[1] - ((qi // gw_) % gh_) * th_
+        vw = grid3[2] - (qi % gw_) * tw_
+        row_valid = (toff < vt) & (hoff < vh) & (woff < vw)
+
+    @pl.when(jnp.logical_and(g < n_groups_img,
+                             nbr_ref[qi, g * slot_block] >= 0))
+    def _group():
+        qblk = q_ref[0].reshape(block, hb_d)
+        kbias = jnp.concatenate(
+            [kb_refs[i][0, 0:1, :]
+             + jnp.where(nbr_ref[qi, g * slot_block + i] >= 0, 0.0, NEG_INF)
+             for i in range(slot_block)], axis=-1)
+
+        for h in range(head_block):
+            cs = slice(h * d, (h + 1) * d)
+            c = c_ref[bi, hg * head_block + h]
+            if quant:
+                qf = jnp.where(row_valid, qblk[:, cs].astype(jnp.float32),
+                               0.0)
+                sq = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-6) / 127.0
+                q8 = jnp.round(qf * (1.0 / sq)).astype(jnp.int8)
+                parts = []
+                for i in range(slot_block):
+                    kf = k_refs[i][0][:, cs].astype(jnp.float32)
+                    sk = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-6) / 127.0
+                    k8 = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
+                    s32 = jax.lax.dot_general(
+                        q8, k8, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    parts.append(s32.astype(jnp.float32) * (sq * sk * scale))
+                s = jnp.concatenate(parts, axis=-1)
+            else:
+                s = jnp.concatenate(
+                    [jax.lax.dot_general(
+                        qblk[:, cs], k_refs[i][0][:, cs],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     for i in range(slot_block)], axis=-1) * scale
+            p = jnp.exp(s + (kbias - c))
+            l_scr[:, h:h + 1] = (l_scr[:, h:h + 1]
+                                 + jnp.sum(p, -1, keepdims=True))
+            blk = p.shape[-1] // slot_block
+            pv = None
+            for i in range(slot_block):
+                pvi = jax.lax.dot_general(
+                    p[:, i * blk:(i + 1) * blk].astype(v_refs[i].dtype),
+                    v_refs[i][0][:, cs], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                pv = pvi if pv is None else pv + pvi
+            acc_scr[:, cs] = acc_scr[:, cs] + pv
+
+    # final group: fold the resident text keys (bf16 dot even under quant —
+    # txt is ~0.2% of the key tokens; the inflated c stays a valid bound),
+    # then normalize and store the tile back into the row-major grid.
+    @pl.when(g == n_groups_img)
+    def _txt_and_finish():
+        qblk = q_ref[0].reshape(block, hb_d)
+        tb = tb_ref[0, 0:1, :]
+        for h in range(head_block):
+            cs = slice(h * d, (h + 1) * d)
+            c = c_ref[bi, hg * head_block + h]
+            s = jax.lax.dot_general(
+                qblk[:, cs], tk_ref[0][:, cs], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            p = jnp.exp(s + (tb - c))
+            l_scr[:, h:h + 1] = (l_scr[:, h:h + 1]
+                                 + jnp.sum(p, -1, keepdims=True))
+            acc_scr[:, cs] = acc_scr[:, cs] + jax.lax.dot_general(
+                p.astype(tv_ref.dtype), tv_ref[0][:, cs],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        denom = jnp.concatenate(
+            [jnp.broadcast_to(jnp.maximum(l_scr[:, h:h + 1], 1e-37),
+                              (block, d))
+             for h in range(head_block)], axis=1)
+        o_ref[0] = ((acc_scr[...] / denom)
+                    .astype(o_ref.dtype)
+                    .reshape(tile[0], tile[1], tile[2], hb_d))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid3", "heads", "scale", "block", "n_slots",
+                              "interpret", "quant", "slot_block",
+                              "head_block", "tile"))
+def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
+                           heads, scale, block, n_slots, interpret, quant,
+                           tile, slot_block=None, head_block=None):
+    """Direct-grid static-offset STA dispatch.
+
+    q5 [B, T, H, W, hd] row-major token grid (reshape view — never copied);
+    kp/vp [B, S_pad, hd] tile-major img K/V (zero-padded); txt_k/txt_v
+    [B, Ltp, hd]; tb [B, 8, Ltp] text key bias; kb [B, 8, S_pad] img key
+    bias; c [B, H] static score bounds. Returns [B, T, H, W, hd]."""
+    b = q5.shape[0]
+    hd = q5.shape[-1]
+    d = hd // heads
+    t, h, w = grid3
+    tt, th, tw = tile
+    gt, gh, gw = _ceil(t, tt), _ceil(h, th), _ceil(w, tw)
+    n_tiles = gt * gh * gw
+    ltp = txt_k.shape[1]
+
+    if slot_block is None:
+        slot_block = 4
+    if head_block is None:
+        head_block = _pick_head_block(heads, d, block, slot_block,
+                                      txt_tokens=ltp)
+    n_groups_img = _ceil(n_slots, slot_block)
+    width = (n_groups_img + 1) * slot_block  # +1 = the txt group
+    nbr = jnp.pad(nbr, ((0, 0), (0, width - nbr.shape[1])),
+                  constant_values=-1)
+    grid = (b, heads // head_block, n_tiles, n_groups_img + 1)
+
+    # forward-fill: invalid/txt-group slots repeat the previous group's
+    # index so Mosaic's revisiting check elides their K/V copies
+    nbr_dma = _dma_indices(nbr, slot_block)
+    hb_d = head_block * d
+
+    def kb_spec(i):
+        return pl.BlockSpec(
+            (1, 8, block),
+            lambda bi, hi, qi, g, nbr_s, dma_s, c_s, i=i:
+                (bi, 0, dma_s[qi, g * slot_block + i]))
+
+    def kv_spec(i):
+        return pl.BlockSpec(
+            (1, block, hb_d),
+            lambda bi, hi, qi, g, nbr_s, dma_s, c_s, i=i:
+                (bi, dma_s[qi, g * slot_block + i], hi))
+
+    def qo_idx(bi, hi, qi, g, nbr_s, dma_s, c_s):
+        return (bi, qi // (gh * gw), (qi // gw) % gh, qi % gw, hi)
+
+    qo_spec = pl.BlockSpec((1, tt, th, tw, hb_d), qo_idx)
+    tkv_spec = pl.BlockSpec(
+        (1, ltp, hb_d),
+        lambda bi, hi, qi, g, nbr_s, dma_s, c_s: (bi, 0, hi))
+    tb_spec = pl.BlockSpec(
+        (1, 8, ltp),
+        lambda bi, hi, qi, g, nbr_s, dma_s, c_s: (bi, 0, 0))
+
+    out = pl.pallas_call(
+        functools.partial(_sta_nomax_direct_kernel, scale=scale,
+                          n_groups_img=n_groups_img, slot_block=slot_block,
+                          head_block=head_block, d=d, quant=quant,
+                          tile=tile, grid3=grid3),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # nbr (kernel), nbr_dma (maps), c
+            grid=grid,
+            in_specs=(
+                [kb_spec(i) for i in range(slot_block)]
+                + [qo_spec]
+                + [kv_spec(i) for i in range(slot_block)]
+                + [kv_spec(i) for i in range(slot_block)]
+                + [tkv_spec, tkv_spec, tb_spec]
+            ),
+            out_specs=qo_spec,
+            scratch_shapes=[pltpu.VMEM((block, 128), jnp.float32),
+                            pltpu.VMEM((block, hb_d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, h, w, hd), q5.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(nbr, nbr_dma, c, *([kb] * slot_block), q5,
+      *([kp] * slot_block), *([vp] * slot_block), txt_k, txt_v, tb)
     return out
 
 
@@ -559,8 +786,17 @@ def sta_joint_attention(
     head_block: Optional[int] = None,
     fused: bool = True,
     score_bound: Optional[jnp.ndarray] = None,
+    direct: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """STA for img queries + dense flash for txt queries.
+
+    direct (static-bound path only): the zero-copy kernel — q read from and
+    out written to the row-major token grid via 5D blocks, txt K/V resident
+    in the kernel. Eliminates the q permute, the out un-permute, and the
+    kcat/vcat concats (~6.5 of ~9.7 GB/layer of plumbing HBM traffic at
+    720p); only the K/V tile-major permutes remain (their zero padding is
+    what keeps edge-block loads poison-free). direct=False keeps the
+    original permuted+concatenated dispatch (parity oracle in tests).
 
     score_bound: optional precomputed upper bound on |q.k|*scale
     (broadcastable to [B, H]; see ops/flash_attention.flash_attention).
@@ -594,6 +830,88 @@ def sta_joint_attention(
             "multiple of 128 (Pallas lane-dim constraint). Production "
             "tiles (4, 8, 8) = 256 satisfy this; CPU interpret mode "
             "accepts any multiple of 8.")
+    def static_bound(txt_keys=True):
+        infl = (1.0 + d ** 0.5 / 254.0) ** 2 if qk_int8 else 1.0
+        if score_bound is not None:
+            return jnp.broadcast_to(
+                jnp.asarray(score_bound, jnp.float32), (b, hh)) * infl
+        # per-(batch, head) Cauchy-Schwarz score bound over img queries
+        # vs ALL keys (img + txt); computed on the un-permuted tensors
+        # (the permutation only reorders rows)
+        qn = jnp.max(jnp.sqrt(jnp.sum(
+            jnp.square(img_q.astype(jnp.float32)), axis=-1)), axis=1)
+        kn = jnp.max(jnp.sqrt(jnp.sum(
+            jnp.square(img_k.astype(jnp.float32)), axis=-1)), axis=1)
+        if txt_keys:
+            kn = jnp.maximum(kn, jnp.max(jnp.sqrt(jnp.sum(
+                jnp.square(txt_k.astype(jnp.float32)), axis=-1)), axis=1))
+        return qn * kn * scale * infl  # [B, H]
+
+    if bound_mode == "static" and direct:
+        plan = tile_plan(tuple(grid), tuple(tile), tuple(window), 0)
+        nbr = jnp.asarray(plan["nbr"])  # img-only neighbor slots
+        kp = _permute_tokens(img_k, grid, tile, plan)
+        vp = _permute_tokens(img_v, grid, tile, plan)
+        s_pad = kp.shape[1]
+
+        tgrid = plan["padded_grid"]
+        tvalid = np.zeros(tgrid, np.float32)
+        tvalid[:grid[0], :grid[1], :grid[2]] = 1.0
+        img_bias = np.where(tvalid.reshape(-1)[plan["perm"]] > 0,
+                            0.0, NEG_INF)
+        img_bias = jnp.broadcast_to(
+            jnp.asarray(img_bias, jnp.float32)[None], (b, s_pad))
+        kb = jnp.broadcast_to(img_bias[:, None, :], (b, 8, s_pad))
+
+        lane = 8 if interpret else 128
+        ltp = _ceil(lt, lane) * lane
+        txt_k_f = txt_k.reshape(b, lt, hh * d)
+        txt_v_f = txt_v.reshape(b, lt, hh * d)
+        tb = (txt_bias.reshape(b, lt).astype(jnp.float32)
+              if txt_bias is not None else jnp.zeros((b, lt), jnp.float32))
+        if ltp != lt:
+            txt_k_f = jnp.pad(txt_k_f, ((0, 0), (0, ltp - lt), (0, 0)))
+            txt_v_f = jnp.pad(txt_v_f, ((0, 0), (0, ltp - lt), (0, 0)))
+            tb = jnp.pad(tb, ((0, 0), (0, ltp - lt)),
+                         constant_values=NEG_INF)
+        tbb = jnp.broadcast_to(tb[:, None, :], (b, 8, ltp))
+
+        c = static_bound()
+        q5 = img_q.reshape(b, grid[0], grid[1], grid[2], hh * d)
+        out5 = _sta_call_nomax_direct(
+            nbr, kb, q5, kp, vp, txt_k_f, txt_v_f, tbb, c, tuple(grid), hh,
+            float(scale), block, plan["n_slots"], interpret, qk_int8,
+            tuple(tile), slot_block=slot_block, head_block=head_block)
+        img_out = out5.reshape(b, s_img, hh * d)
+
+        if interpret:
+            # CPU tests: the chunked online-softmax path (no Pallas).
+            full_kb = jnp.concatenate(
+                [jnp.zeros((b, 1, 1, s_img), jnp.float32),
+                 txt_bias.astype(jnp.float32) if txt_bias is not None
+                 else jnp.zeros((b, 1, 1, lt), jnp.float32)], axis=-1)
+            k_all = jnp.concatenate([img_k, txt_k], axis=1)
+            v_all = jnp.concatenate([img_v, txt_v], axis=1)
+            txt_out = attention(txt_q, k_all, v_all, mode="chunked",
+                                key_bias=full_kb, scale=scale)
+            return img_out, txt_out
+        # txt queries: full attention over [img | txt] as a merge of two
+        # partial-softmax flash states (img keys read from the tile-major
+        # kp/vp already in HBM; the merge with a SHARED static offset c is
+        # exact — no kcat concat needed)
+        from .flash_attention import flash_attention, merge_flash_states
+        s1 = flash_attention(
+            txt_q, kp.reshape(b, s_pad, hh, d), vp.reshape(b, s_pad, hh, d),
+            key_bias=img_bias[:, None, None, :], scale=scale,
+            bound_mode="static", score_bound=c, return_state=True)
+        s2 = flash_attention(
+            txt_q, txt_k, txt_v,
+            key_bias=(txt_bias if txt_bias is not None else None),
+            scale=scale, bound_mode="static", score_bound=c,
+            return_state=True)
+        txt_out, _, _ = merge_flash_states(s1, s2)
+        return img_out, txt_out
+
     txt_pad = _ceil(lt, block) * block
     plan = tile_plan(tuple(grid), tuple(tile), tuple(window), txt_pad)
     nbr = jnp.asarray(plan["nbr"])
@@ -628,24 +946,7 @@ def sta_joint_attention(
     kb = jnp.broadcast_to(kb[:, None, :], (b, 8, kb.shape[1]))
 
     if bound_mode == "static":
-        infl = (1.0 + d ** 0.5 / 254.0) ** 2 if qk_int8 else 1.0
-        if score_bound is not None:
-            c = jnp.broadcast_to(
-                jnp.asarray(score_bound, jnp.float32), (b, hh)) * infl
-        else:
-            # per-(batch, head) Cauchy-Schwarz score bound over img queries
-            # vs ALL keys (img + txt); computed on the un-permuted tensors
-            # (the permutation only reorders rows)
-            qn = jnp.max(jnp.sqrt(jnp.sum(
-                jnp.square(img_q.astype(jnp.float32)), axis=-1)), axis=1)
-            kn = jnp.maximum(
-                jnp.max(jnp.sqrt(jnp.sum(
-                    jnp.square(img_k.astype(jnp.float32)), axis=-1)),
-                    axis=1),
-                jnp.max(jnp.sqrt(jnp.sum(
-                    jnp.square(txt_k.astype(jnp.float32)), axis=-1)),
-                    axis=1))
-            c = qn * kn * scale * infl  # [B, H]
+        c = static_bound()
         img_out_p = _sta_call_nomax(nbr, kb, qp, kcat, vcat, c, hh,
                                     float(scale), block, n_slots, interpret,
                                     qk_int8, slot_block=slot_block,

@@ -177,3 +177,22 @@ def test_sta_flops_note():
     dense_tiles = plan["n_tiles"]
     assert plan["n_slots"] <= 28
     assert dense_tiles > 300  # 10x+ reduction vs dense
+
+
+@pytest.mark.parametrize("grid", [
+    (3, 9, 10),   # ragged in every axis -> partial edge blocks
+    (4, 8, 8),    # exact tiling
+])
+def test_sta_direct_matches_permuted(grid):
+    # the zero-copy direct-grid kernel (q/out live in the row-major token
+    # grid; txt K/V resident operands) must match the original
+    # permuted+concatenated dispatch bit-for-bit up to fp32 fold order
+    tile, window = (2, 4, 4), (3, 3, 3)
+    img, txt, tb = _data(grid, lt=24, seed=2)
+    kw = dict(grid=grid, tile=tile, window=window, bound_mode="static")
+    d_img, d_txt = sta_joint_attention(*img, *txt, tb, direct=True, **kw)
+    p_img, p_txt = sta_joint_attention(*img, *txt, tb, direct=False, **kw)
+    np.testing.assert_allclose(np.asarray(d_img), np.asarray(p_img),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_txt), np.asarray(p_txt),
+                               rtol=1e-5, atol=1e-5)
