@@ -86,6 +86,10 @@ class InferenceArgs:
     text_states_dim_2: int = 768
     tokenizer_2: str = "clipL"
     text_len_2: int = 77
+    # TPU addition: int8 storage tier for the 8B LLM tower — required for
+    # single-chip runs (bf16 8B > one v5e's HBM); None keeps
+    # text_encoder_precision
+    text_encoder_quant: Optional[str] = None
 
     # ---- denoise schedule (reference config.py:175-216) ----
     denoise_type: str = "flow"
@@ -199,6 +203,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "apply-final-norm", d.apply_final_norm)
     g.add_argument("--text-encoder-2", type=str, default=d.text_encoder_2)
     g.add_argument("--text-encoder-precision-2", type=str, default=d.text_encoder_precision_2)
+    g.add_argument("--text-encoder-quant", type=str,
+                   default=d.text_encoder_quant)
     g.add_argument("--text-states-dim-2", type=int, default=d.text_states_dim_2)
     g.add_argument("--tokenizer-2", type=str, default=d.tokenizer_2)
     g.add_argument("--text-len-2", type=int, default=d.text_len_2)

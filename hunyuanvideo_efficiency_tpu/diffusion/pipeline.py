@@ -210,7 +210,7 @@ class HunyuanVideoPipeline:
                  precision: str = "bf16", vae_precision: str = "fp16",
                  args=None, offload_encoders: bool = False,
                  offload_transformer: bool = False,
-                 mesh=None, pcfg=None):
+                 mesh=None, pcfg=None, transformer_builder=None):
         # multi-chip: with a mesh of world_size > 1 the denoise loop runs
         # sequence-parallel (parallel/sp_dit.py) — the TPU-native analog of
         # the reference wiring parallelize_transformer into the live
@@ -237,6 +237,17 @@ class HunyuanVideoPipeline:
         self.text_encoder = text_encoder
         self.text_encoder_2 = text_encoder_2
         self.transformer_params = transformer_params
+        # Deferred DiT materialization for phase-sequenced single-chip runs:
+        # with the int8 tiers the 8B LLM tower (~8 GB) and the 13B DiT
+        # (~12.4 GB) cannot coexist in one v5e's 15.75 GB HBM. Pass
+        # transformer_params=None plus a zero-arg builder; the pipeline
+        # calls it AFTER the text phase has encoded and the encoders were
+        # freed (offload_encoders="free"), so each phase owns the chip:
+        # text -> DiT -> VAE. (The reference's analog is diffusers
+        # sequential cpu-offload, hyvideo/inference.py:443-446 — a
+        # host-round-trip tier that costs ~minutes/GB through a remote
+        # runtime link, where the build/free sequencing is instant.)
+        self.transformer_builder = transformer_builder
         self.transformer_cfg = transformer_cfg
         self.scheduler = scheduler
         self.precision = precision
@@ -414,12 +425,23 @@ class HunyuanVideoPipeline:
                 num_videos_per_prompt)
             if self.offload_encoders:
                 # free encoder HBM before the denoise loop (reference
-                # sequential cpu-offload analog, inference.py:443-446)
+                # sequential cpu-offload analog, inference.py:443-446);
+                # "free" deletes the device weights outright (one-shot)
+                # instead of round-tripping them to host
                 for enc in (self.text_encoder, self.text_encoder_2):
-                    if enc is not None and hasattr(enc, "offload"):
+                    if enc is None:
+                        continue
+                    if self.offload_encoders == "free":
+                        enc.free()
+                    elif hasattr(enc, "offload"):
                         enc.offload()
         else:
             pe, mask, pe2 = prompt_embeds, prompt_mask, prompt_embeds_2
+
+        if self.transformer_params is None and self.transformer_builder:
+            # phase-sequenced build: the encoders' HBM is free now
+            self.transformer_params, self.transformer_builder = (
+                self.transformer_builder(), None)
 
         batch = pe.shape[0] // (2 if do_cfg else 1)
 

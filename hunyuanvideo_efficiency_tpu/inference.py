@@ -186,7 +186,11 @@ class Inference:
             hidden_state_skip_layer=args.hidden_state_skip_layer,
             apply_final_norm=args.apply_final_norm,
             dtype=PRECISION_TO_TYPE[args.text_encoder_precision],
-            mesh=mesh)  # tensor-parallel LLM tower over the same mesh
+            mesh=mesh,  # tensor-parallel LLM tower over the same mesh
+            # int8 storage tier: single-chip fit for the 8B tower
+            # (llama.quantize_llama_params_int8); TP already shards it at
+            # world_size > 1, so the tier matters on one chip
+            llm_quant=getattr(args, "text_encoder_quant", None))
         # smaller tower configs (tests / distilled encoders)
         for key in ("llm_config", "clip_config"):
             if key in kwargs:

@@ -81,17 +81,19 @@ s8xs8 dot's s32/f32 output before the bf16 cast).
 At 720p-class lengths (118.8k tokens) the wide projections (qkv 9216,
 mlp 12288) would transiently need 4.4-5.8 GB — with 13B int8 params
 already holding 12.4 GB of HBM those temps are what pushed the staged
-720p step past 15.75 GB at runtime, so they token-chunk. Square [h -> h]
-projections only need ~1.45 GB and run UN-chunked: chunking serializes
-the VPU quant pass against the MXU dot across chunks (measured 145 vs
-224 TOP/s at [118.8k, 3072] x [3072, 3072] on v5e), so chunk only what
-memory demands. 544p-class shapes (67.8k tokens) never chunk — they fit
-whole and keep their measured perf (the token gate)."""
+720p step past 15.75 GB at runtime, so they COLUMN-chunk
+(_int8_linear_colchunked: quantize once, slide the dot over output
+column blocks). Square [h -> h] projections only need ~1.45 GB and run
+UN-chunked. 544p-class shapes (67.8k tokens) never chunk — they fit
+whole and keep their measured perf (the token gate). Measured at
+[118.8k, 3072] x [3072, 9216] on v5e: 284.5 TOP/s unchunked, 145
+token-chunked (the retired scheme — it re-ran the per-token quant in
+every chunk, serializing VPU against MXU), ~212 for the Pallas fused
+kernel (ops/int8_matmul.py); column chunking keeps the unchunked dot's
+structure (see docs/KERNELS.md)."""
 
 
 _INT8_CHUNK_TOKENS = 100_000
-
-_INT8_CHUNK_SIZE = 8192
 
 _INT8_IMPL = "xla"
 """Which W8A8 implementation `linear()` dispatches for sequence-sized
@@ -129,9 +131,56 @@ def _int8_linear(p: Params, x: jnp.ndarray,
     post = ACT[act] if act else (lambda y: y)
     if (x.ndim == 3 and x.shape[1] > _INT8_CHUNK_TOKENS
             and x.shape[1] * n_out * 4 > _INT8_TEMP_BUDGET):
-        return _chunked_tokens(lambda u: post(_int8_linear_body(p, u)), x,
-                               _INT8_CHUNK_SIZE)
+        return _int8_linear_colchunked(p, x, post)
     return post(_int8_linear_body(p, x))
+
+
+def _int8_linear_colchunked(p: Params, x: jnp.ndarray, post) -> jnp.ndarray:
+    """W8A8 linear with OUTPUT-COLUMN chunking.
+
+    The wide 720p projections (qkv [118.8k, 3072]x[3072, 9216], fc1
+    ...x[3072, 12288]) need a 4.4-5.8 GB s32/f32 dot output that does not
+    fit next to the 12.4 GB int8 weight tree. Token-chunking bounded the
+    temp but re-ran the per-token quant inside every chunk, serializing
+    the VPU quant against the MXU dot across chunks (measured 145 TOP/s
+    vs 284 unchunked at [118.8k, 3072]x[3072, 9216] on v5e). Here the
+    activation is quantized ONCE (int8 xq is L x h = 0.35 GB — cheap),
+    and a `fori_loop` slides over column blocks of the weight so only one
+    [L, bn] s32 temp is ever live; each block's dequant + `post` epilogue
+    fuses into its own dot. Sequential loop semantics guarantee the
+    single-temp memory bound (an unrolled loop would let the scheduler
+    overlap several multi-GB temps)."""
+    n = p["kernel"].shape[-1]
+    l = x.shape[1]
+    # widest column block whose s32 temp fits the budget and divides n
+    # (lane-aligned); n is a multiple of 128 for every DiT projection
+    bn = n
+    while bn > 128 and (l * bn * 4 > _INT8_TEMP_BUDGET or n % bn):
+        bn -= 128
+    nc = n // bn
+
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
+    sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.round(x.astype(jnp.float32) / sx).astype(jnp.int8)
+
+    w, so = p["kernel"], p["scale_out"]
+    bias = p.get("bias")
+
+    def body(j, acc):
+        wj = jax.lax.dynamic_slice_in_dim(w, j * bn, bn, axis=-1)
+        soj = jax.lax.dynamic_slice_in_dim(so, j * bn, bn, axis=-1)
+        y = jax.lax.dot_general(
+            xq, wj, (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * sx * soj[..., 0, :]
+        if bias is not None:
+            y = y + jax.lax.dynamic_slice_in_dim(
+                bias, j * bn, bn, axis=-1).astype(jnp.float32)
+        y = post(y.astype(x.dtype))
+        return jax.lax.dynamic_update_slice_in_dim(acc, y, j * bn, axis=-1)
+
+    out = jnp.zeros(x.shape[:-1] + (n,), x.dtype)
+    return jax.lax.fori_loop(0, nc, body, out)
 
 
 def _int8_linear_body(p: Params, x: jnp.ndarray) -> jnp.ndarray:

@@ -92,6 +92,7 @@ class TextEncoder:
         dtype=jnp.bfloat16,
         init_key: Optional[jax.Array] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
+        quant: Optional[str] = None,
     ):
         if text_encoder_type not in ("llm", "clipL"):
             raise ValueError(
@@ -119,11 +120,26 @@ class TextEncoder:
         if model_config is None:
             model_config = LLAMA3_8B if text_encoder_type == "llm" else CLIP_L
         self.config = model_config
+        # int8 storage tier for the LLM tower (single-chip fit; see
+        # llama.quantize_llama_params_int8). CLIP-L is 123M — never worth it.
+        if quant not in (None, "int8"):
+            raise ValueError(f"text encoder quant must be int8|None: {quant}")
+        self.quant = quant if text_encoder_type == "llm" else None
         if params is None:
             if init_key is None:
                 init_key = jax.random.PRNGKey(0)
-            params = (init_llama_params if text_encoder_type == "llm"
-                      else init_clip_params)(init_key, model_config, dtype)
+            if self.quant == "int8":
+                from .llama import init_llama_params_int8
+
+                params = init_llama_params_int8(init_key, model_config)
+            else:
+                params = (init_llama_params if text_encoder_type == "llm"
+                          else init_clip_params)(init_key, model_config,
+                                                 dtype)
+        elif self.quant == "int8":
+            from .llama import quantize_llama_params_int8
+
+            params = quantize_llama_params_int8(params)
         # Tensor-parallel placement of the LLM tower over the mesh (the 8B
         # tower alone is ~16 GB bf16 — larger than one v5e). CLIP-L (123M)
         # stays replicated. See llama.shard_llama_params.
@@ -218,6 +234,18 @@ class TextEncoder:
 
         self.params = jax.tree.map(np.asarray, self.params)
 
+    def free(self) -> None:
+        """Delete the device weights outright (no host copy) — the one-shot
+        phase-sequencing tier: on remote-tunnel runtimes the 8 GB
+        device->host copy of offload() costs minutes, the delete is
+        instant. The encoder cannot encode again afterwards (same
+        semantics as the pipeline's offload_transformer='free')."""
+        if self.params is not None:
+            jax.tree.map(
+                lambda a: a.delete() if hasattr(a, "delete") else None,
+                self.params)
+        self.params = None
+
     def load(self, device=None) -> None:
         if (device is None and self.mesh is not None
                 and self.text_encoder_type == "llm"):
@@ -254,6 +282,7 @@ def build_text_encoders(
     apply_final_norm: bool = False,
     dtype=jnp.bfloat16,
     mesh: Optional[jax.sharding.Mesh] = None,
+    llm_quant: Optional[str] = None,
 ) -> Tuple[TextEncoder, TextEncoder]:
     """Builds the (llm, clipL) pair the way Inference.from_pretrained does
     (reference: hyvideo/inference.py:210-264): the LLM max_length includes
@@ -267,7 +296,8 @@ def build_text_encoders(
         tokenizer_path=tokenizer_path, prompt_template=tpl,
         prompt_template_video=tpl_video,
         hidden_state_skip_layer=hidden_state_skip_layer,
-        apply_final_norm=apply_final_norm, dtype=dtype, mesh=mesh)
+        apply_final_norm=apply_final_norm, dtype=dtype, mesh=mesh,
+        quant=llm_quant)
     clip = TextEncoder(
         "clipL", text_len_2, params=clip_params, model_config=clip_config,
         tokenizer_path=tokenizer_path_2, dtype=dtype)

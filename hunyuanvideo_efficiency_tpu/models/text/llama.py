@@ -75,14 +75,45 @@ def _apply_rope(q, k, cos, sin):
     return q, k
 
 
+def _lin(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Linear dispatch over storage tiers (mirrors models/dit.linear):
+
+    * bf16/fp32 {'kernel'} — plain matmul;
+    * int8 {'kernel' s8, 'scale_out' [.., 1, out]} — W8A8: per-token
+      activation quant + s8xs8->s32 MXU dot + dequant. At text lengths
+      (≤351 tokens) every projection is HBM-bandwidth-bound on the weight
+      read, so int8 storage halves the layer time on top of halving the
+      tower's footprint (8B bf16 ≈ 16 GB > one v5e's 15.75 GB; int8 ≈ 8 GB
+      fits single-chip — the tier the reference lacks, it runs the LLM
+      replicated in fp16 on 80 GB GPUs, hyvideo/inference.py:241-264);
+    * fp8 {'kernel' e4m3, 'scale'} — storage-only: dequant fuses into the
+      matmul operand load.
+    """
+    w = p["kernel"]
+    if w.dtype == jnp.int8:
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
+        sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        xq = jnp.round(x.astype(jnp.float32) / sx).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, w, (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * sx * p["scale_out"][..., 0, :]
+        return y.astype(x.dtype)
+    if "scale" in p:  # fp8 per-tensor storage
+        w = (w.astype(jnp.float32) * p["scale"]).astype(x.dtype)
+    else:
+        w = w.astype(x.dtype)
+    return x @ w
+
+
 def _attn(p: Params, x: jnp.ndarray, bias: jnp.ndarray, cos, sin,
           cfg: LlamaConfig) -> jnp.ndarray:
     b, l, _ = x.shape
     hq, hkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
-    q = (x @ p["q_proj"]["kernel"].astype(x.dtype)).reshape(b, l, hq, d)
-    k = (x @ p["k_proj"]["kernel"].astype(x.dtype)).reshape(b, l, hkv, d)
-    v = (x @ p["v_proj"]["kernel"].astype(x.dtype)).reshape(b, l, hkv, d)
+    q = _lin(p["q_proj"], x).reshape(b, l, hq, d)
+    k = _lin(p["k_proj"], x).reshape(b, l, hkv, d)
+    v = _lin(p["v_proj"], x).reshape(b, l, hkv, d)
     qf, kf = _apply_rope(q.astype(jnp.float32), k.astype(jnp.float32),
                          cos, sin)
     rep = hq // hkv
@@ -94,13 +125,13 @@ def _attn(p: Params, x: jnp.ndarray, bias: jnp.ndarray, cos, sin,
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(vf.dtype),
                      vf.astype(x.dtype))
     out = out.reshape(b, l, hq * d)
-    return out @ p["o_proj"]["kernel"].astype(x.dtype)
+    return _lin(p["o_proj"], out)
 
 
 def _mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    g = x @ p["gate_proj"]["kernel"].astype(x.dtype)
-    u = x @ p["up_proj"]["kernel"].astype(x.dtype)
-    return (jax.nn.silu(g) * u) @ p["down_proj"]["kernel"].astype(x.dtype)
+    g = _lin(p["gate_proj"], x)
+    u = _lin(p["up_proj"], x)
+    return _lin(p["down_proj"], jax.nn.silu(g) * u)
 
 
 def _layer(p: Params, x: jnp.ndarray, bias, cos, sin, cfg: LlamaConfig):
@@ -148,35 +179,129 @@ def llama_encode(
     return x
 
 
-def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
-    """Random params (tests / benchmarks)."""
+def _init_layer(key, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    """Random params for ONE decoder layer."""
     h, m = cfg.hidden_size, cfg.intermediate_size
     d, hq, hkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
-    ks = iter(jax.random.split(key, 3 + cfg.num_hidden_layers * 7))
+    ks = iter(jax.random.split(key, 7))
 
     def lin(k, cin, cout):
         return {"kernel": jax.random.normal(k, (cin, cout), dtype)
                 / np.sqrt(cin)}
 
-    layers = []
-    for _ in range(cfg.num_hidden_layers):
-        layers.append({
-            "input_layernorm": {"scale": jnp.ones((h,), dtype)},
-            "self_attn": {
-                "q_proj": lin(next(ks), h, hq * d),
-                "k_proj": lin(next(ks), h, hkv * d),
-                "v_proj": lin(next(ks), h, hkv * d),
-                "o_proj": lin(next(ks), hq * d, h)},
-            "post_attention_layernorm": {"scale": jnp.ones((h,), dtype)},
-            "mlp": {"gate_proj": lin(next(ks), h, m),
-                    "up_proj": lin(next(ks), h, m),
-                    "down_proj": lin(next(ks), m, h)},
-        })
+    return {
+        "input_layernorm": {"scale": jnp.ones((h,), dtype)},
+        "self_attn": {
+            "q_proj": lin(next(ks), h, hq * d),
+            "k_proj": lin(next(ks), h, hkv * d),
+            "v_proj": lin(next(ks), h, hkv * d),
+            "o_proj": lin(next(ks), hq * d, h)},
+        "post_attention_layernorm": {"scale": jnp.ones((h,), dtype)},
+        "mlp": {"gate_proj": lin(next(ks), h, m),
+                "up_proj": lin(next(ks), h, m),
+                "down_proj": lin(next(ks), m, h)},
+    }
+
+
+def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    """Random params (tests / benchmarks)."""
+    h = cfg.hidden_size
+    kl, ke = jax.random.split(key)
+    layers = [_init_layer(k, cfg, dtype)
+              for k in jax.random.split(kl, cfg.num_hidden_layers)]
     return {
         "embed_tokens": {"embedding": 0.02 * jax.random.normal(
-            next(ks), (cfg.vocab_size, h), dtype)},
+            ke, (cfg.vocab_size, h), dtype)},
         "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
         "norm": {"scale": jnp.ones((h,), dtype)},
+    }
+
+
+def quantize_llama_params_int8(params: Params) -> Params:
+    """int8 (per-output-channel) storage for every layer linear.
+
+    The single-chip memory tier for the 8B tower: bf16 weights are ~16 GB —
+    larger than one v5e's 15.75 GB HBM — while int8 layers + bf16 embedding
+    land at ~8 GB, leaving room to encode before the DiT phase begins
+    (phase-sequenced: text -> DiT -> VAE). Embedding and RMSNorm scales stay
+    high-precision, mirroring the DiT quantizers (ops/quantization.py).
+    Works on host (numpy) trees — the checkpoint-load path quantizes BEFORE
+    device placement so the bf16 tree never has to fit in HBM — and on jax
+    trees (tests). The reference has no analog: it runs the LLM replicated
+    in fp16 on 80 GB GPUs (hyvideo/inference.py:241-264).
+    """
+    from ...ops.quantization import quantize_tensor_int8
+
+    def conv(p):
+        if isinstance(p, dict):
+            if "kernel" in p:
+                w = p["kernel"]
+                if isinstance(w, np.ndarray):
+                    wf = w.astype(np.float32)
+                    amax = np.max(np.abs(wf), axis=-2, keepdims=True)
+                    scale = np.maximum(amax, 1e-12) / 127.0
+                    q = np.clip(np.round(wf / scale), -127, 127
+                                ).astype(np.int8)
+                    return {"kernel": q,
+                            "scale_out": scale.astype(np.float32)}
+                return quantize_tensor_int8(w)
+            return {k: conv(v) for k, v in p.items()}
+        return p
+
+    out = dict(params)
+    out["layers"] = conv(params["layers"])
+    return out
+
+
+def init_llama_params_int8(key, cfg: LlamaConfig) -> Params:
+    """Random int8-tier params built layer-by-layer ON DEVICE.
+
+    A full-precision 8B tree never exists: each layer is initialized and
+    quantized inside one jitted call (peak transient = one f32 layer,
+    ~0.9 GB) and inserted into the preallocated stacked int8 tree with
+    buffer donation (same pattern as bench.build_fp8_params)."""
+    from functools import partial
+
+    from ...ops.quantization import quantize_tensor_int8
+
+    kl, ke = jax.random.split(key)
+
+    @jax.jit
+    def one_layer(k):
+        p = _init_layer(k, cfg, jnp.float32)
+
+        def conv(q):
+            if isinstance(q, dict):
+                if "kernel" in q:
+                    return quantize_tensor_int8(q["kernel"])
+                return {k2: conv(v) for k2, v in q.items()}
+            return q
+
+        out = conv(p)
+        # norms stored bf16 (they are not linears)
+        for nk in ("input_layernorm", "post_attention_layernorm"):
+            out[nk] = {"scale": p[nk]["scale"].astype(jnp.bfloat16)}
+        return out
+
+    @partial(jax.jit, donate_argnums=0)
+    def insert(stacked, i, layer):
+        return jax.tree.map(
+            lambda s, b: jax.lax.dynamic_update_index_in_dim(
+                s, b.astype(s.dtype), i, 0), stacked, layer)
+
+    proto = jax.eval_shape(one_layer, kl)
+    stacked = jax.tree.map(
+        lambda a: jnp.zeros((cfg.num_hidden_layers,) + a.shape, a.dtype),
+        proto)
+    for i, k in enumerate(jax.random.split(kl, cfg.num_hidden_layers)):
+        stacked = insert(stacked, i, one_layer(k))
+
+    h = cfg.hidden_size
+    return {
+        "embed_tokens": {"embedding": (0.02 * jax.random.normal(
+            ke, (cfg.vocab_size, h), jnp.float32)).astype(jnp.bfloat16)},
+        "layers": stacked,
+        "norm": {"scale": jnp.ones((h,), jnp.bfloat16)},
     }
 
 

@@ -63,7 +63,15 @@ def main():
 
     t8 = timeit(chain(_int8_linear_body), p8, x)
     print(f"int8 W8A8 [{L}x{h}]@[{h}x{n}]: {t8 * 1e3:7.2f} ms "
-          f"{flops / t8 / 1e12:6.1f} TOP/s")
+          f"{flops / t8 / 1e12:6.1f} TOP/s", flush=True)
+
+    # the production dispatch (_int8_linear): unchunked where the s32 temp
+    # fits, column-chunked above the budget (quantize once, slide the dot
+    # over output column blocks)
+    from hunyuanvideo_efficiency_tpu.models.dit import _int8_linear
+    td = timeit(chain(lambda p, u: _int8_linear(p, u)), p8, x)
+    print(f"dispatch (col-chunk when needed): {td * 1e3:7.2f} ms "
+          f"{flops / td / 1e12:6.1f} TOP/s", flush=True)
 
     from hunyuanvideo_efficiency_tpu.ops.int8_matmul import (
         int8_linear_pallas)
@@ -72,10 +80,16 @@ def main():
         for bn in (1536, 3072):
             if bn > n:
                 continue
-            tp = timeit(chain(lambda p, u, bl=bl, bn=bn: int8_linear_pallas(
-                p, u, block_l=bl, block_n=bn)), p8, x)
+            try:
+                tp = timeit(chain(lambda p, u, bl=bl, bn=bn:
+                                  int8_linear_pallas(p, u, block_l=bl,
+                                                     block_n=bn)), p8, x)
+            except Exception as e:  # e.g. VMEM OOM at big tiles
+                print(f"pallas W8A8 bl={bl} bn={bn}:  FAILED "
+                      f"({type(e).__name__})", flush=True)
+                continue
             print(f"pallas W8A8 bl={bl} bn={bn}:  {tp * 1e3:7.2f} ms "
-                  f"{flops / tp / 1e12:6.1f} TOP/s")
+                  f"{flops / tp / 1e12:6.1f} TOP/s", flush=True)
 
     tb = timeit(chain(lambda wt, u: u @ wt), w, x)
     print(f"bf16 matmul same shape:    {tb * 1e3:7.2f} ms "

@@ -253,3 +253,53 @@ def test_index_for_timestep_nearest_match():
     assert sch.index_for_timestep(t3 + 0.01) == 3
     assert sch.index_for_timestep(
         float(jnp.asarray(t3, jnp.bfloat16))) == 3
+
+
+def test_phase_sequenced_text_then_deferred_transformer():
+    """Full phase sequencing: encode with real towers, free them
+    (offload_encoders='free'), THEN materialize the DiT via
+    transformer_builder — the single-chip tier where the 8B tower and the
+    13B DiT never coexist in HBM (here at toy scale)."""
+    from hunyuanvideo_efficiency_tpu.models.text import (
+        CLIPTextConfig, LlamaConfig, TextEncoder)
+
+    tiny_llm = LlamaConfig(vocab_size=256, hidden_size=32,
+                           intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2)
+    tiny_clip = CLIPTextConfig(vocab_size=96, hidden_size=16,
+                               intermediate_size=32, num_hidden_layers=2,
+                               num_attention_heads=4,
+                               max_position_embeddings=77, eos_token_id=95)
+    tpl = {"template": "instr {}", "crop_start": 2}
+    llm = TextEncoder("llm", max_length=10, model_config=tiny_llm,
+                      prompt_template=tpl, prompt_template_video=tpl,
+                      hidden_state_skip_layer=1, dtype=jnp.float32,
+                      quant="int8")
+    clip = TextEncoder("clipL", max_length=16, model_config=tiny_clip,
+                       dtype=jnp.float32)
+    vae = AutoencoderKLCausal3D(
+        TINY_VAE, init_vae_params(jax.random.PRNGKey(1), TINY_VAE))
+    built = []
+
+    def builder():
+        built.append(True)
+        # the encoders must be gone before the DiT materializes
+        assert llm.params is None and clip.params is None
+        return init_dit_params(jax.random.PRNGKey(2), TINY_DIT)
+
+    pipe = HunyuanVideoPipeline(
+        vae=vae, text_encoder=llm, text_encoder_2=clip,
+        transformer_params=None, transformer_builder=builder,
+        transformer_cfg=TINY_DIT,
+        scheduler=FlowMatchDiscreteScheduler(shift=7.0, reverse=True),
+        offload_encoders="free")
+    freqs = get_nd_rotary_pos_embed(TINY_DIT.rope_dim_list, (3, 2, 2),
+                                    theta=256.0)
+    out = pipe(prompt="a cat", negative_prompt="bad",
+               height=32, width=32, video_length=9,
+               num_inference_steps=2, guidance_scale=1.0,
+               embedded_guidance_scale=6.0, key=jax.random.PRNGKey(0),
+               freqs_cis=freqs)
+    assert built == [True]
+    assert out.videos.shape == (1, 3, 9, 32, 32)
+    assert np.isfinite(out.videos).all()

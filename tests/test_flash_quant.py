@@ -139,25 +139,36 @@ class TestInt8:
         rel = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref))))
         assert rel < 0.03, rel
 
-    def test_int8_linear_token_chunking_exact(self, monkeypatch):
-        # above _INT8_CHUNK_TOKENS the int8 matmul runs over token chunks
-        # (bounds the [L, out] s32 temp at 720p-class lengths); results must
-        # be bit-identical to the unchunked dot — per-token quantization is
-        # independent across tokens
+    def test_int8_linear_column_chunking_exact(self, monkeypatch):
+        # above _INT8_CHUNK_TOKENS the int8 matmul slides over OUTPUT
+        # column blocks (bounds the [L, out] s32 temp at 720p-class lengths
+        # while quantizing the activation only once); the dot/dequant math
+        # is identical to the unchunked path — only XLA fusion order may
+        # differ (1-ulp f32)
         import hunyuanvideo_efficiency_tpu.models.dit as dit_mod
         from hunyuanvideo_efficiency_tpu.ops.quantization import (
             quantize_tensor_int8)
 
-        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
-        w = jax.random.normal(k1, (64, 48)) * 0.05
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+        w = jax.random.normal(k1, (64, 256)) * 0.05
+        b = jax.random.normal(k3, (256,)) * 0.1
         x = jax.random.normal(k2, (1, 40, 64))
-        q = quantize_tensor_int8(w)
+        q = {**quantize_tensor_int8(w), "bias": b}
         ref = dit_mod.linear(q, x)
         monkeypatch.setattr(dit_mod, "_INT8_CHUNK_TOKENS", 16)
         monkeypatch.setattr(dit_mod, "_INT8_TEMP_BUDGET", 1)
-        monkeypatch.setattr(dit_mod, "_INT8_CHUNK_SIZE", 16)
         out = dit_mod.linear(q, x)
-        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+        # the fused-activation epilogue chunks identically
+        ref_act = dit_mod._int8_linear({**quantize_tensor_int8(w)}, x,
+                                       act="silu")
+        monkeypatch.setattr(dit_mod, "_INT8_CHUNK_TOKENS", 10 ** 9)
+        unchunked = dit_mod._int8_linear({**quantize_tensor_int8(w)}, x,
+                                         act="silu")
+        np.testing.assert_allclose(np.asarray(ref_act),
+                                   np.asarray(unchunked),
+                                   rtol=1e-6, atol=1e-6)
 
     def test_int8_col_row_slices_match_slice_of_full(self):
         from hunyuanvideo_efficiency_tpu.models.dit import (

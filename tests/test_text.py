@@ -224,3 +224,102 @@ class TestShardedLlama:
         after = enc("hello world").hidden_state
         np.testing.assert_allclose(np.asarray(before), np.asarray(after),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestLlamaInt8Tier:
+    """int8 storage tier for the LLM tower (single-chip fit;
+    llama.quantize_llama_params_int8 / init_llama_params_int8)."""
+
+    def _ids(self, b=2, l=16):
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, TINY_LLAMA.vocab_size, (b, l)),
+                          jnp.int32)
+        mask = jnp.asarray([[1] * l, [1] * (l - 6) + [0] * 6], jnp.int32)
+        return ids, mask
+
+    def test_quantized_encode_close_to_fp(self):
+        from hunyuanvideo_efficiency_tpu.models.text import (
+            init_llama_params, quantize_llama_params_int8)
+
+        params = init_llama_params(jax.random.PRNGKey(0), TINY_LLAMA,
+                                   jnp.float32)
+        q = quantize_llama_params_int8(params)
+        k = q["layers"]["self_attn"]["q_proj"]
+        assert k["kernel"].dtype == jnp.int8
+        assert "scale_out" in k
+        # embedding / norms stay high precision
+        assert q["embed_tokens"]["embedding"].dtype == params[
+            "embed_tokens"]["embedding"].dtype
+
+        ids, mask = self._ids()
+        ref = llama_encode(params, ids, mask, TINY_LLAMA,
+                           hidden_state_skip_layer=2, dtype=jnp.float32)
+        out = llama_encode(q, ids, mask, TINY_LLAMA,
+                           hidden_state_skip_layer=2, dtype=jnp.float32)
+        ref, out = np.asarray(ref), np.asarray(out)
+        assert np.isfinite(out).all()
+        # W8A8 keeps activations directionally faithful (loose tolerance:
+        # two roundings per linear, 4 layers deep)
+        cos = (ref * out).sum() / (np.linalg.norm(ref) *
+                                   np.linalg.norm(out))
+        assert cos > 0.995, cos
+        rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 0.2, rel
+
+    def test_numpy_tree_quantization(self):
+        from hunyuanvideo_efficiency_tpu.models.text import (
+            init_llama_params, quantize_llama_params_int8)
+
+        params = jax.tree.map(np.asarray, init_llama_params(
+            jax.random.PRNGKey(0), TINY_LLAMA, jnp.float32))
+        q = quantize_llama_params_int8(params)
+        k = q["layers"]["self_attn"]["o_proj"]
+        assert isinstance(k["kernel"], np.ndarray)
+        assert k["kernel"].dtype == np.int8
+        # device-side quantization of the same tree agrees bit-exactly
+        qd = quantize_llama_params_int8(jax.tree.map(jnp.asarray, params))
+        np.testing.assert_array_equal(
+            np.asarray(qd["layers"]["self_attn"]["o_proj"]["kernel"]),
+            k["kernel"])
+
+    def test_incremental_init_matches_quantized_full_init(self):
+        from hunyuanvideo_efficiency_tpu.models.text import (
+            init_llama_params, init_llama_params_int8,
+            quantize_llama_params_int8)
+
+        key = jax.random.PRNGKey(7)
+        inc = init_llama_params_int8(key, TINY_LLAMA)
+        full = quantize_llama_params_int8(
+            init_llama_params(key, TINY_LLAMA, jnp.float32))
+        np.testing.assert_array_equal(
+            np.asarray(inc["layers"]["mlp"]["down_proj"]["kernel"]),
+            np.asarray(full["layers"]["mlp"]["down_proj"]["kernel"]))
+        np.testing.assert_allclose(
+            np.asarray(inc["layers"]["mlp"]["down_proj"]["scale_out"]),
+            np.asarray(full["layers"]["mlp"]["down_proj"]["scale_out"]),
+            rtol=1e-6)
+        ids, mask = self._ids()
+        out = llama_encode(inc, ids, mask, TINY_LLAMA,
+                           hidden_state_skip_layer=2, dtype=jnp.float32)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_wrapper_quant_and_free(self):
+        tpl = PROMPT_TEMPLATE["dit-llm-encode-video"]
+        tiny_tpl = {"template": tpl["template"], "crop_start": 3}
+        enc = TextEncoder("llm", max_length=24, model_config=TINY_LLAMA,
+                          prompt_template=tiny_tpl,
+                          prompt_template_video=tiny_tpl,
+                          hidden_state_skip_layer=2, dtype=jnp.float32,
+                          init_key=jax.random.PRNGKey(3), quant="int8")
+        k = enc.params["layers"]["self_attn"]["q_proj"]["kernel"]
+        assert k.dtype == jnp.int8
+        out = enc("a cat walks", data_type="video")
+        assert out.hidden_state.shape[1] == 24 - 3  # crop_start applied
+        assert np.isfinite(np.asarray(out.hidden_state)).all()
+        enc.free()
+        assert enc.params is None
+
+    def test_wrapper_rejects_unknown_quant(self):
+        with pytest.raises(ValueError):
+            TextEncoder("llm", max_length=8, model_config=TINY_LLAMA,
+                        quant="int3")
