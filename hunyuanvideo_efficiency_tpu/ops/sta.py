@@ -768,6 +768,30 @@ def _sta_call(nbr, kb, q, kcat, vcat, heads, scale, block, n_slots,
     return out
 
 
+def txt_merge_attention(txt_q, kp, vp, img_bias, txt_k, txt_v, txt_bias,
+                        c, scale):
+    """txt queries attend over [img | txt] as a merge of two partial-softmax
+    flash states (img keys read from the tile-major kp/vp [B, S_pad, H*D]
+    already in HBM; the merge with a SHARED static offset `c` is exact — no
+    kcat concat needed). Factored out of the TPU-only direct STA branch so
+    interpret-mode tests can oracle the merge on CPU."""
+    from .flash_attention import flash_attention, merge_flash_states
+
+    b, _, hh, d = txt_q.shape
+    s_pad = kp.shape[1]
+    s1 = flash_attention(
+        txt_q, kp.reshape(b, s_pad, hh, d), vp.reshape(b, s_pad, hh, d),
+        key_bias=img_bias[:, None, None, :], scale=scale,
+        bound_mode="static", score_bound=c, return_state=True)
+    s2 = flash_attention(
+        txt_q, txt_k, txt_v,
+        key_bias=(txt_bias if txt_bias is not None else None),
+        scale=scale, bound_mode="static", score_bound=c,
+        return_state=True)
+    txt_out, _, _ = merge_flash_states(s1, s2)
+    return txt_out
+
+
 def sta_joint_attention(
     img_q: jnp.ndarray,  # [B, S_img, H, D] row-major (t, h, w) tokens
     img_k: jnp.ndarray,
@@ -797,6 +821,9 @@ def sta_joint_attention(
     720p); only the K/V tile-major permutes remain (their zero padding is
     what keeps edge-block loads poison-free). direct=False keeps the
     original permuted+concatenated dispatch (parity oracle in tests).
+    `fused=False` (an ablation knob of the permuted dispatch) takes
+    precedence over `direct`: it routes to the permuted unfused kernel, so
+    benchmarking callers always get the variant they asked for.
 
     score_bound: optional precomputed upper bound on |q.k|*scale
     (broadcastable to [B, H]; see ops/flash_attention.flash_attention).
@@ -847,7 +874,7 @@ def sta_joint_attention(
                 jnp.square(txt_k.astype(jnp.float32)), axis=-1)), axis=1))
         return qn * kn * scale * infl  # [B, H]
 
-    if bound_mode == "static" and direct:
+    if bound_mode == "static" and direct and fused:
         plan = tile_plan(tuple(grid), tuple(tile), tuple(window), 0)
         nbr = jnp.asarray(plan["nbr"])  # img-only neighbor slots
         kp = _permute_tokens(img_k, grid, tile, plan)
@@ -895,21 +922,8 @@ def sta_joint_attention(
             txt_out = attention(txt_q, k_all, v_all, mode="chunked",
                                 key_bias=full_kb, scale=scale)
             return img_out, txt_out
-        # txt queries: full attention over [img | txt] as a merge of two
-        # partial-softmax flash states (img keys read from the tile-major
-        # kp/vp already in HBM; the merge with a SHARED static offset c is
-        # exact — no kcat concat needed)
-        from .flash_attention import flash_attention, merge_flash_states
-        s1 = flash_attention(
-            txt_q, kp.reshape(b, s_pad, hh, d), vp.reshape(b, s_pad, hh, d),
-            key_bias=img_bias[:, None, None, :], scale=scale,
-            bound_mode="static", score_bound=c, return_state=True)
-        s2 = flash_attention(
-            txt_q, txt_k, txt_v,
-            key_bias=(txt_bias if txt_bias is not None else None),
-            scale=scale, bound_mode="static", score_bound=c,
-            return_state=True)
-        txt_out, _, _ = merge_flash_states(s1, s2)
+        txt_out = txt_merge_attention(txt_q, kp, vp, img_bias, txt_k,
+                                      txt_v, txt_bias, c, scale)
         return img_out, txt_out
 
     txt_pad = _ceil(lt, block) * block

@@ -1,20 +1,29 @@
 """Measured single-chip E2E T2V at the reference's headline config:
-720x1280x129f, 50 denoise steps, through the public pipeline API.
+720x1280x129f, 50 denoise steps, through the public pipeline API —
+with NO phase skipped: prompt -> 8B Llama + CLIP-L towers -> DiT denoise
+-> VAE decode.
 
 Reference comparison point: 1,904 s end-to-end on ONE 80 GB GPU
-(/root/reference/README.md:408-431, same resolution/frames/steps). This
-drives the identical workload on one 15.75 GB TPU v5e: 13B DiT with int8
-W8A8 linears + int4 modulation + bf16-stored refiner, sliding-tile
-attention (attn_mode=sta, bf16 QK — the fastest measured variant), the
-dispatch plan chosen by diffusion/dispatch.py:plan_dispatch (per-step
-monolithic for STA; block-chunked for dense — every on-device program stays
-under this environment's ~60 s watchdog), sequential DiT<->VAE offload, and
-uniform-tile VAE decode.
+(/root/reference/README.md:408-431, same resolution/frames/steps; its
+pipeline encodes the prompt through both text encoders inside __call__,
+hyvideo/inference.py:241-264 + pipeline_hunyuan_video.py:847-891). This
+drives the identical workload on one 15.75 GB TPU v5e, phase-sequenced so
+no two model phases coexist in HBM:
 
-Weights are random (timing, not quality): text embeddings are precomputed
-stand-ins, exactly like bench.py.
+1. TEXT: Llama-3-8B tower in the int8 storage tier (~8 GB; bf16 would not
+   fit) + CLIP-L bf16, real video prompt template with crop_start=95
+   (constants.PROMPT_TEMPLATE), HashTokenizer (no tokenizer assets in this
+   environment), then both towers freed;
+2. DiT: 13B with int8 W8A8 linears + int4 modulation + bf16-stored refiner,
+   sliding-tile attention (attn_mode=sta), dispatch plan from
+   diffusion/dispatch.py (every on-device program stays under this
+   environment's ~60 s watchdog), freed after the denoise;
+3. VAE: uniform-tile decode.
 
-Usage: timeout 5400 python scripts/e2e_720p.py [--steps 50]
+Weights are random (timing, not quality). --no-text reproduces the older
+precomputed-embedding measurement.
+
+Usage: timeout 7200 python scripts/e2e_720p.py [--steps 50]
 Run serially with other TPU jobs (CLAUDE.md). Emits one JSON line.
 """
 import argparse
@@ -31,6 +40,8 @@ def main():
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--frames", type=int, default=129)
+    ap.add_argument("--no-text", action="store_true",
+                    help="skip the tower phase (random embeddings)")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +63,39 @@ def main():
     cfg = load_dit_config("HYVideo-T/2-cfgdistill", attn_mode="sta",
                           mlp_chunk_tokens=4096, seq_pad_multiple=1024,
                           attn_head_chunks=4)
+
+    # ---- phase 1: TEXT — the 8B+CLIP towers encode a real prompt with
+    # the production template + crop_start on this chip, then are freed
+    # (reference: encode_prompt inside the pipeline, :847-891) ----
+    t_text0 = time.perf_counter()
+    pe = mask = pe2 = None
+    lt = 256
+    if not args.no_text:
+        from hunyuanvideo_efficiency_tpu.models.text import (
+            build_text_encoders)
+
+        prompt = ("A cat walks on the grass, realistic style, golden hour "
+                  "lighting, shallow depth of field")
+        llm, clip_enc = build_text_encoders(llm_quant="int8",
+                                            dtype=jnp.bfloat16)
+        t_built = time.perf_counter() - t_text0
+        print(f"# towers built in {t_built:.1f} s (llm int8 "
+              f"{sum(a.size * a.dtype.itemsize for a in jax.tree.leaves(llm.params)) / 2 ** 30:.2f} GiB)",
+              file=sys.stderr)
+        pe_o, mask_o = llm.encode_prompt(prompt, data_type="video")
+        pe2_o, _ = clip_enc.encode_prompt(prompt, data_type="video")
+        pe = jnp.asarray(pe_o, jnp.bfloat16)
+        mask = jnp.asarray(mask_o, jnp.int32)
+        pe2 = jnp.asarray(pe2_o, jnp.bfloat16)
+        # sync before freeing
+        float(jnp.sum(pe).astype(jnp.float32))
+        assert pe.shape == (1, lt, cfg.text_states_dim), pe.shape
+        assert pe2.shape == (1, cfg.text_states_dim_2), pe2.shape
+        llm.free()
+        clip_enc.free()
+    t_text = time.perf_counter() - t_text0
+    if not args.no_text:
+        print(f"# text phase total {t_text:.1f} s", file=sys.stderr)
     # runtime-aware dispatch: the pipeline auto-plans identically when
     # scan_denoise is left unset; we need the plan here only because the
     # staged param layout (chunked stacks) must match block_chunks
@@ -91,11 +135,13 @@ def main():
     tt, th, tw = t_lat, h_lat // 2, w_lat // 2
     freqs = get_nd_rotary_pos_embed(cfg.rope_dim_list, (tt, th, tw),
                                     theta=cfg.rope_theta)
-    lt = 256
-    ks = jax.random.split(jax.random.PRNGKey(2), 3)
-    pe = jax.random.normal(ks[0], (1, lt, cfg.text_states_dim), jnp.bfloat16)
-    mask = jnp.ones((1, lt), jnp.int32)
-    pe2 = jax.random.normal(ks[1], (1, cfg.text_states_dim_2), jnp.bfloat16)
+    if pe is None:  # --no-text: precomputed stand-ins, like bench.py
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        pe = jax.random.normal(ks[0], (1, lt, cfg.text_states_dim),
+                               jnp.bfloat16)
+        mask = jnp.ones((1, lt), jnp.int32)
+        pe2 = jax.random.normal(ks[1], (1, cfg.text_states_dim_2),
+                                jnp.bfloat16)
 
     steps_done = []
 
@@ -121,13 +167,16 @@ def main():
     # steady-state step time: skip the first (compile-laden) step
     per_step = ((steps_done[-1] - steps_done[0]) / (len(steps_done) - 1)
                 if len(steps_done) > 1 else t_denoise)
+    e2e = t_total + (0.0 if args.no_text else t_text)
     print(json.dumps({
-        "metric": f"E2E {w}x{h}x{f}f {args.steps}-step sta int8 1chip",
-        "value": round(t_total, 1), "unit": "s (incl. compiles)",
+        "metric": (f"E2E {w}x{h}x{f}f {args.steps}-step sta int8 1chip"
+                   + ("" if args.no_text else " +text")),
+        "value": round(e2e, 1), "unit": "s (incl. compiles)",
+        "text_s": round(t_text, 1) if not args.no_text else 0.0,
         "denoise_s": round(t_denoise, 1),
         "decode_s": round(t_total - t_denoise, 1),
         "warm_s_per_step": round(per_step, 2),
-        "vs_reference_e2e_1904s": round(1904.08 / t_total, 3)}))
+        "vs_reference_e2e_1904s": round(1904.08 / e2e, 3)}))
 
 
 if __name__ == "__main__":

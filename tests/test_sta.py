@@ -196,3 +196,83 @@ def test_sta_direct_matches_permuted(grid):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(d_txt), np.asarray(p_txt),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_txt_merge_attention_matches_dense_oracle():
+    """Interpret-mode oracle for the TPU-only txt path of the direct STA
+    branch (sta.py: txt_merge_attention — two flash states with a shared
+    static offset merged via merge_flash_states). On CPU the direct branch
+    returns the chunked fallback instead, so this drives the merge helper
+    itself against dense full attention over [img | txt]."""
+    from hunyuanvideo_efficiency_tpu.ops.sta import (_permute_tokens,
+                                                     txt_merge_attention)
+
+    grid, tile, window = (3, 9, 10), (2, 4, 4), (3, 3, 3)
+    img, txt, tb = _data(grid, lt=24, seed=4)
+    img_q, img_k, img_v = img
+    txt_q, txt_k, txt_v = txt
+    b, s, h, d = img_q.shape
+
+    plan = tile_plan(grid, tile, window, 0)
+    kp = _permute_tokens(img_k, grid, tile, plan)
+    vp = _permute_tokens(img_v, grid, tile, plan)
+    s_pad = kp.shape[1]
+    tgrid = plan["padded_grid"]
+    tvalid = np.zeros(tgrid, np.float32)
+    tvalid[:grid[0], :grid[1], :grid[2]] = 1.0
+    img_bias = np.where(tvalid.reshape(-1)[plan["perm"]] > 0, 0.0, NEG_INF)
+    img_bias = jnp.broadcast_to(
+        jnp.asarray(img_bias, jnp.float32)[None], (b, s_pad))
+
+    # shared static score bound (Cauchy-Schwarz over all keys), as the
+    # direct branch computes it
+    scale = d ** -0.5
+    qn = jnp.max(jnp.linalg.norm(txt_q, axis=-1), axis=1)
+    kn = jnp.maximum(jnp.max(jnp.linalg.norm(img_k, axis=-1), axis=1),
+                     jnp.max(jnp.linalg.norm(txt_k, axis=-1), axis=1))
+    c = qn * kn * scale  # [B, H]
+
+    out = txt_merge_attention(txt_q, kp, vp, img_bias, txt_k, txt_v, tb,
+                              c, scale)
+
+    k_all = jnp.concatenate([img_k, txt_k], axis=1)
+    v_all = jnp.concatenate([img_v, txt_v], axis=1)
+    bias_txt = jnp.concatenate(
+        [jnp.zeros((b, 1, 1, s), jnp.float32), tb.astype(jnp.float32)],
+        axis=-1)
+    ref = sdpa_attention(txt_q, k_all, v_all, bias=bias_txt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("grid", [(3, 9, 10), (4, 8, 8)])
+def test_sta_direct_qk_int8_close_to_fp(grid):
+    """qk_int8 in the DIRECT kernel (incl. the row_valid iota masking that
+    zeroes pad q rows before the tile-wide absmax on ragged edge tiles)
+    must stay close to the fp path. Looser tolerance: s8 QK^T rounding."""
+    tile, window = (2, 4, 4), (3, 3, 3)
+    img, txt, tb = _data(grid, lt=24, seed=3)
+    kw = dict(grid=grid, tile=tile, window=window, bound_mode="static")
+    ref_img, _ = sta_joint_attention(*img, *txt, tb, direct=True,
+                                     qk_int8=False, **kw)
+    q_img, _ = sta_joint_attention(*img, *txt, tb, direct=True,
+                                   qk_int8=True, **kw)
+    ref_img, q_img = np.asarray(ref_img), np.asarray(q_img)
+    assert np.isfinite(q_img).all()
+    err = np.abs(q_img - ref_img).max() / (np.abs(ref_img).max() + 1e-9)
+    assert err < 0.05, err
+
+
+def test_sta_fused_false_still_selects_unfused_kernel():
+    """`fused=False` must route to the permuted unfused dispatch even with
+    the direct=True default (ablation callers rely on it)."""
+    grid, tile, window = (4, 8, 8), (2, 4, 4), (3, 3, 3)
+    img, txt, tb = _data(grid, lt=24, seed=5)
+    kw = dict(grid=grid, tile=tile, window=window, bound_mode="static")
+    a_img, a_txt = sta_joint_attention(*img, *txt, tb, fused=False, **kw)
+    b_img, b_txt = sta_joint_attention(*img, *txt, tb, direct=False,
+                                       fused=False, **kw)
+    np.testing.assert_allclose(np.asarray(a_img), np.asarray(b_img),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_txt), np.asarray(b_txt),
+                               rtol=1e-5, atol=1e-5)
