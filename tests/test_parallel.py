@@ -512,3 +512,76 @@ def test_cfg_reorder_for_dp_roundtrip():
                                   [0, 3, 12, 15, 6, 9, 18, 21])
     np.testing.assert_array_equal(np.asarray(cfg_unreorder_for_dp(y, 2)),
                                   np.asarray(x))
+
+@pytest.mark.parametrize("scan", [True, False])
+def test_sta_sharded_predict_trajectory_matches_single_device(scan):
+    """Trajectory-level STA through the SHARDED public path: a multi-step
+    `predict` with attn_mode='sta' on the CPU mesh (pure Ulysses — the
+    production 8-chip config class for STA) must reproduce the
+    single-device STA trajectory bit-for-tolerance. Together with the
+    on-chip dense-vs-STA 50-step agreement table (PARITY.md), this closes
+    the chain: sharded STA == single STA == (measured) ~dense.
+
+    Gates/final layers are re-randomized so every block writes through its
+    residual (random-weight gotcha: zero-init adaLN makes the DiT an
+    identity map and the comparison vacuous)."""
+    from hunyuanvideo_efficiency_tpu.config import InferenceArgs
+    from hunyuanvideo_efficiency_tpu.inference import HunyuanVideoSampler
+    from hunyuanvideo_efficiency_tpu.models.text import (
+        CLIPTextConfig, LlamaConfig, TextEncoder)
+    from hunyuanvideo_efficiency_tpu.models.vae import (
+        AutoencoderKLCausal3D, init_vae_params)
+    from hunyuanvideo_efficiency_tpu.models.vae_config import VAEConfig
+
+    cfg = DiTConfig(
+        hidden_size=128, heads_num=4, mm_double_blocks_depth=1,
+        mm_single_blocks_depth=1, rope_dim_list=(8, 12, 12),
+        text_states_dim=64, text_states_dim_2=48, attn_mode="sta",
+        sta_tile=(2, 4, 4), sta_window=(3, 3, 3))
+    params = init_dit_params(jax.random.PRNGKey(1), cfg)
+    fk = jax.random.split(jax.random.PRNGKey(99), 2)
+    for i, leaf in enumerate(("linear", "adaLN_modulation")):
+        k = params["final_layer"][leaf]["kernel"]
+        params["final_layer"][leaf]["kernel"] = (
+            0.05 * jax.random.normal(fk[i], k.shape, k.dtype))
+    mk_rng = np.random.default_rng(3)
+    for stack in (params["double_blocks"], params["single_blocks"]):
+        for mk in ("modulation", "img_mod", "txt_mod"):
+            if mk in stack:
+                k = stack[mk]["kernel"]
+                stack[mk]["kernel"] = jnp.asarray(
+                    0.05 * mk_rng.standard_normal(k.shape), k.dtype)
+
+    vcfg = VAEConfig(block_out_channels=(16, 16, 32, 32),
+                     layers_per_block=1, norm_num_groups=8)
+    vae = AutoencoderKLCausal3D(
+        vcfg, init_vae_params(jax.random.PRNGKey(0), vcfg))
+    tiny_llm = LlamaConfig(vocab_size=256, hidden_size=64,
+                           intermediate_size=96, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2)
+    tiny_clip = CLIPTextConfig(vocab_size=96, hidden_size=48,
+                               intermediate_size=96, num_hidden_layers=2,
+                               num_attention_heads=4,
+                               max_position_embeddings=77, eos_token_id=95)
+    llm = TextEncoder("llm", max_length=10, model_config=tiny_llm,
+                      hidden_state_skip_layer=1, dtype=jnp.float32)
+    clip = TextEncoder("clipL", max_length=16, model_config=tiny_clip,
+                       dtype=jnp.float32)
+    args = InferenceArgs(text_states_dim=64, text_states_dim_2=48,
+                         vae_tiling=False, scan_denoise=scan)
+
+    # latent grid (4, 8, 6): 192 tokens; STA tile (2, 4, 4) -> ragged
+    # (2, 2, 2) tile grid with edge tiles
+    kw = dict(height=128, width=96, video_length=13, seed=11,
+              infer_steps=3, guidance_scale=1.0, flow_shift=7.0)
+    ref_sampler = HunyuanVideoSampler(args, vae, llm, clip, params, cfg)
+    ref = ref_sampler.predict("a cat", **kw)
+    assert np.abs(np.asarray(ref["samples"])).max() > 0  # not vacuous
+
+    pcfg = ParallelConfig(ulysses_degree=2)
+    mesh = make_mesh(pcfg)
+    sp_sampler = HunyuanVideoSampler(args, vae, llm, clip, params, cfg,
+                                     mesh=mesh, pcfg=pcfg)
+    out = sp_sampler.predict("a cat", **kw)
+    np.testing.assert_allclose(out["samples"], ref["samples"],
+                               rtol=2e-3, atol=2e-3)
