@@ -206,7 +206,12 @@ def _flash_nomax_packed(q, k, v, kb, c, heads: int, scale: float,
     if with_stats:
         # stats live [B, H, 8, Sq] inside the kernel (lane dim = block_q —
         # a (1, block_q, 1) block over [B, Sq, H] is Mosaic-illegal) and
-        # are converted to the public [B, Sq, H] after the call
+        # are converted to the public [B, Sq, H] after the call. The 8
+        # sublane copies are the f32 tile minimum (8, 128) — ~45 MB of
+        # redundant stat writes per ring hop at 720p shards, <0.5% of the
+        # hop's q/k/v traffic; the [:, :, 0] slice reads 1/8 back and the
+        # [B, H, Sq] transpose moves ~6 MB. Structural, not worth a
+        # second kernel variant.
         stat_spec = pl.BlockSpec((1, 1, 8, block_q),
                                  lambda bi, hi, qi, ki, cs: (bi, hi, 0, qi))
         stat_shape = jax.ShapeDtypeStruct((b, heads, 8, sq), jnp.float32)

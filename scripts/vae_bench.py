@@ -30,6 +30,13 @@ def main():
                     help="re-run each leg on fresh input for a warm "
                          "(compile-free) time")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--decode-only", action="store_true",
+                    help="skip the encode leg (decode a random latent)")
+    ap.add_argument("--decode-tile-batch", type=int, default=1,
+                    help="tiles per decode dispatch (uniform tiles): >1 "
+                         "uses post-offload HBM headroom to cut dispatch "
+                         "count and fill the chip")
+    ap.add_argument("--encode-tile-batch", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -46,36 +53,46 @@ def main():
     vae = AutoencoderKLCausal3D(cfg, params, dtype=dtype)
     vae.enable_tiling(True)
     vae.uniform_tiles = True
+    vae.decode_tile_batch = args.decode_tile_batch
+    vae.encode_tile_batch = args.encode_tile_batch
 
     h, w, f = args.height, args.width, args.frames
-    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, f, h, w),
-                           jnp.float32, -1.0, 1.0)
 
     def sync(a):
         return float(jnp.asarray(a).ravel()[0])
 
-    t0 = time.perf_counter()
-    moments = vae.encode_moments(x)
-    sync(moments)
-    t_enc = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(moments, np.float32)).all()
-    print(json.dumps({
-        "metric": f"vae tiled encode {w}x{h}x{f}f uniform_tiles "
-                  f"{args.dtype}",
-        "value": round(t_enc, 2), "unit": "s (incl. compile)",
-        "latent_shape": list(moments.shape)}), flush=True)
-    if args.warm:
-        x2 = x + 0.001
-        sync(x2)
+    moments = None
+    if not args.decode_only:
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, f, h, w),
+                               jnp.float32, -1.0, 1.0)
         t0 = time.perf_counter()
-        sync(vae.encode_moments(x2))
+        moments = vae.encode_moments(x)
+        sync(moments)
+        t_enc = time.perf_counter() - t0
+        assert np.isfinite(np.asarray(moments, np.float32)).all()
         print(json.dumps({
-            "metric": f"vae tiled encode {w}x{h}x{f}f warm",
-            "value": round(time.perf_counter() - t0, 2), "unit": "s"}),
-            flush=True)
+            "metric": f"vae tiled encode {w}x{h}x{f}f uniform_tiles "
+                      f"{args.dtype}",
+            "value": round(t_enc, 2), "unit": "s (incl. compile)",
+            "latent_shape": list(moments.shape)}), flush=True)
+        if args.warm:
+            x2 = x + 0.001
+            sync(x2)
+            t0 = time.perf_counter()
+            sync(vae.encode_moments(x2))
+            print(json.dumps({
+                "metric": f"vae tiled encode {w}x{h}x{f}f warm",
+                "value": round(time.perf_counter() - t0, 2), "unit": "s"}),
+                flush=True)
 
-    if args.decode:
-        z = moments[:, :cfg.latent_channels]
+    if args.decode or args.decode_only:
+        if moments is not None:
+            z = moments[:, :cfg.latent_channels]
+        else:
+            z = 0.5 * jax.random.normal(
+                jax.random.PRNGKey(2),
+                (1, cfg.latent_channels, (f - 1) // 4 + 1, h // 8, w // 8),
+                jnp.float32)
         t0 = time.perf_counter()
         out = vae.decode(z)
         sync(out)
@@ -83,7 +100,7 @@ def main():
         assert np.isfinite(np.asarray(out, np.float32)).all()
         print(json.dumps({
             "metric": f"vae tiled decode {w}x{h}x{f}f uniform_tiles "
-                      f"{args.dtype}",
+                      f"{args.dtype} tb={args.decode_tile_batch}",
             "value": round(t_dec, 2), "unit": "s (incl. compile)",
             "video_shape": list(out.shape)}), flush=True)
         if args.warm:
@@ -92,7 +109,8 @@ def main():
             t0 = time.perf_counter()
             sync(vae.decode(z2))
             print(json.dumps({
-                "metric": f"vae tiled decode {w}x{h}x{f}f warm",
+                "metric": f"vae tiled decode {w}x{h}x{f}f warm "
+                          f"tb={args.decode_tile_batch}",
                 "value": round(time.perf_counter() - t0, 2), "unit": "s"}),
                 flush=True)
 
