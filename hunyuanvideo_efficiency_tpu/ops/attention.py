@@ -218,11 +218,14 @@ def joint_attention(
                 "tile neighborhood spans the rotating K/V shards; use pure "
                 "Ulysses (ring_degree=1) or attn_mode='flash'")
         if not ulysses_axis:
-            from .sta import sta_joint_attention
-
             # "sta_int8" = STA with in-kernel int8 QK^T; needs the static
-            # score bound, which _bound_mode grants whenever QK-norm is on
-            return sta_joint_attention(
+            # score bound, which _bound_mode grants whenever QK-norm is on.
+            # The trainable wrapper keeps the kernel forward and adds a
+            # sparse gathered-form backward (custom VJP), so fine-tuning
+            # with attn_mode="sta" inherits the >10x attention FLOP cut.
+            from .sta import sta_joint_attention_trainable
+
+            return sta_joint_attention_trainable(
                 img_q, img_k, img_v, txt_q, txt_k, txt_v, txt_bias,
                 grid=tuple(token_grid), tile=tuple(sta_tile),
                 window=tuple(sta_window), scale=scale, bound_mode=bound_mode,

@@ -1015,3 +1015,168 @@ def sta_reference_mask(grid, tile, window, s_img):
     dq = tiles[:, None, :] - tiles[None, :, :]
     half = np.array([wt // 2, wh // 2, ww // 2])
     return (np.abs(dq) <= half).all(-1)
+
+
+# --------------------------------------------------------------------------
+# trainable STA: differentiable gathered form + custom-VJP wrapper
+# --------------------------------------------------------------------------
+
+def sta_gathered_attention(img_q, img_k, img_v, txt_q, txt_k, txt_v,
+                           txt_bias, *, grid, tile=(4, 8, 8),
+                           window=(3, 3, 3), scale=None, tile_chunk=32):
+    """Differentiable pure-XLA STA with the SAME tile plan as the kernel.
+
+    Per query tile, the neighbor key/value blocks are GATHERED into a
+    [chunk, n_slots*block] key set (plus the replicated text keys) and a
+    dense fp32 softmax runs per tile — O(valid pairs) like the kernel, but
+    built from jnp gathers/einsums only, so `jax.grad` derives the sparse
+    backward automatically (the gather's transpose scatter-adds dk/dv).
+    This is the TRAINING form: fine-tuning inherits STA's >10x FLOP cut
+    over differentiating dense flash (the reference has no training stack
+    at all). `lax.map` over tile chunks bounds the gathered working set.
+
+    Returns (img_out [B, S_img, H*D], txt_out [B, Lt, H*D]) — txt queries
+    keep full differentiable attention over [img | txt].
+    """
+    from .attention import attention
+
+    b, s_img, hh, d = img_q.shape
+    lt = txt_q.shape[1]
+    scale = scale if scale is not None else d ** -0.5
+    block = tile[0] * tile[1] * tile[2]
+
+    plan = tile_plan(tuple(grid), tuple(tile), tuple(window), 0)
+    nbr = jnp.asarray(plan["nbr"])              # [n_tiles, n_slots] (img)
+    n_tiles, n_slots = plan["n_tiles"], plan["n_slots"]
+
+    qp = _permute_tokens(img_q, grid, tile, plan)
+    kp = _permute_tokens(img_k, grid, tile, plan)
+    vp = _permute_tokens(img_v, grid, tile, plan)
+    hd = hh * d
+    qt = qp.reshape(b, n_tiles, block, hd)
+    kt = kp.reshape(b, n_tiles, block, hd)
+    vt = vp.reshape(b, n_tiles, block, hd)
+
+    # token-validity bias (zero-padded tokens of edge tiles must not be
+    # attended as keys) + slot-validity bias, both static host arrays
+    tp, hp, wp = plan["padded_grid"]
+    tvalid = np.zeros((tp, hp, wp), np.float32)
+    tvalid[:grid[0], :grid[1], :grid[2]] = 1.0
+    tok_bias = np.where(tvalid.reshape(-1)[plan["perm"]] > 0, 0.0, NEG_INF)
+    tok_bias = jnp.asarray(tok_bias, jnp.float32).reshape(n_tiles, block)
+    slot_bias = jnp.where(nbr >= 0, 0.0, NEG_INF).astype(jnp.float32)
+    idx = jnp.maximum(nbr, 0)
+
+    tb_row = (txt_bias.reshape(b, lt).astype(jnp.float32)
+              if txt_bias is not None else jnp.zeros((b, lt), jnp.float32))
+
+    nc = _ceil(n_tiles, tile_chunk)
+    pad_tiles = nc * tile_chunk - n_tiles
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    if pad_tiles:
+        tile_ids = jnp.concatenate(
+            [tile_ids, jnp.zeros((pad_tiles,), jnp.int32)])
+    tile_ids = tile_ids.reshape(nc, tile_chunk)
+
+    def one_chunk(ids):                          # ids [C]
+        nb = idx[ids]                            # [C, n_slots]
+        q_c = qt[:, ids].reshape(b, -1, block, hh, d)
+        kg = kt[:, nb].reshape(b, -1, n_slots * block, hh, d)
+        vg = vt[:, nb].reshape(b, -1, n_slots * block, hh, d)
+        # bias per gathered key: token validity of the SOURCE tile + slot
+        # validity of this (tile, slot)
+        kb = (tok_bias[nb] + slot_bias[ids][..., None]
+              ).reshape(ids.shape[0], n_slots * block)   # [C, S_k]
+        s_img_scores = jnp.einsum(
+            "bcqhd,bckhd->bchqk", q_c.astype(jnp.float32),
+            kg.astype(jnp.float32)) * scale
+        s_img_scores = s_img_scores + kb[None, :, None, None, :]
+        s_txt = jnp.einsum(
+            "bcqhd,blhd->bchql", q_c.astype(jnp.float32),
+            txt_k.astype(jnp.float32)) * scale
+        s_txt = s_txt + tb_row[:, None, None, None, :]
+        s = jnp.concatenate([s_img_scores, s_txt], axis=-1)
+        p = jax.nn.softmax(s, axis=-1)
+        p_img = p[..., :n_slots * block].astype(vg.dtype)
+        p_txt = p[..., n_slots * block:].astype(txt_v.dtype)
+        o = (jnp.einsum("bchqk,bckhd->bcqhd", p_img, vg)
+             + jnp.einsum("bchql,blhd->bcqhd", p_txt, txt_v))
+        return o.reshape(b, -1, block, hd).astype(img_q.dtype)
+
+    out_chunks = jax.lax.map(one_chunk, tile_ids)     # [nc, B, C, blk, hd]
+    out_t = jnp.moveaxis(out_chunks, 0, 1).reshape(b, nc * tile_chunk,
+                                                   block, hd)[:, :n_tiles]
+    img_out = _unpermute_tokens(out_t.reshape(b, n_tiles * block, hd),
+                                grid, plan, tile)
+
+    # txt queries: full differentiable attention over [img | txt]
+    full_kb = jnp.concatenate(
+        [jnp.zeros((b, 1, 1, s_img), jnp.float32),
+         tb_row[:, None, None, :]], axis=-1)
+    k_all = jnp.concatenate([img_k, txt_k], axis=1)
+    v_all = jnp.concatenate([img_v, txt_v], axis=1)
+    txt_out = attention(txt_q, k_all, v_all,
+                        mode="chunked" if s_img > 8192 else "sdpa",
+                        key_bias=full_kb, scale=scale)
+    return img_out, txt_out
+
+
+@functools.lru_cache(maxsize=32)
+def _make_sta_trainable(grid, tile, window, scale, bound_mode, qk_int8,
+                        has_bias, has_bound):
+    """custom-VJP STA: kernel forward, gathered-form backward.
+
+    Forward value comes from `sta_joint_attention` (the Pallas kernel
+    path); gradients come from `jax.vjp` of `sta_gathered_attention` over
+    the saved inputs (flash-style rematerialization — both compute the
+    same math, so the cotangents are the sparse attention gradients).
+    score_bound only shifts the kernel's exponent offset; the output is
+    mathematically invariant to it, so its cotangent is zero."""
+
+    def primal(iq, ik, iv, tq, tk, tv, tb, sb):
+        return sta_joint_attention(
+            iq, ik, iv, tq, tk, tv, tb if has_bias else None,
+            grid=grid, tile=tile, window=window, scale=scale,
+            bound_mode=bound_mode, qk_int8=qk_int8,
+            score_bound=sb if has_bound else None)
+
+    f = jax.custom_vjp(primal)
+
+    def fwd(iq, ik, iv, tq, tk, tv, tb, sb):
+        return primal(iq, ik, iv, tq, tk, tv, tb, sb), \
+            (iq, ik, iv, tq, tk, tv, tb, sb)
+
+    def bwd(res, ct):
+        iq, ik, iv, tq, tk, tv, tb, sb = res
+        _, vjp = jax.vjp(
+            lambda a, bq, c, dd, e, g: sta_gathered_attention(
+                a, bq, c, dd, e, g, tb if has_bias else None,
+                grid=grid, tile=tile, window=window, scale=scale),
+            iq, ik, iv, tq, tk, tv)
+        giq, gik, giv, gtq, gtk, gtv = vjp(ct)
+        return (giq, gik, giv, gtq, gtk, gtv, jnp.zeros_like(tb),
+                jnp.zeros_like(sb))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def sta_joint_attention_trainable(img_q, img_k, img_v, txt_q, txt_k, txt_v,
+                                  txt_bias, *, grid, tile=(4, 8, 8),
+                                  window=(3, 3, 3), scale=None,
+                                  bound_mode="auto", qk_int8=False,
+                                  score_bound=None):
+    """sta_joint_attention with a sparse backward: identical forward (the
+    Pallas kernel dispatch), differentiable via the gathered form. This is
+    what `joint_attention(mode="sta")` routes through, so fine-tuning with
+    STA simply works (ops/attention.py)."""
+    f = _make_sta_trainable(
+        tuple(grid), tuple(tile), tuple(window),
+        None if scale is None else float(scale), bound_mode, bool(qk_int8),
+        txt_bias is not None, score_bound is not None)
+    tb = (txt_bias if txt_bias is not None
+          else jnp.zeros((img_q.shape[0], 1, 1, txt_q.shape[1]),
+                         jnp.float32))
+    sb = (score_bound if score_bound is not None
+          else jnp.zeros((), jnp.float32))
+    return f(img_q, img_k, img_v, txt_q, txt_k, txt_v, tb, sb)

@@ -276,3 +276,131 @@ def test_sta_fused_false_still_selects_unfused_kernel():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(a_txt), np.asarray(b_txt),
                                rtol=1e-5, atol=1e-5)
+
+
+class TestTrainableSTA:
+    """Sparse backward: gathered differentiable form + custom-VJP wrapper
+    (fine-tuning inherits STA's FLOP cut; VERDICT r3 stretch item)."""
+
+    GRID, TILE, WINDOW = (3, 9, 10), (2, 4, 4), (3, 3, 3)
+
+    def test_gathered_forward_matches_oracle(self):
+        from hunyuanvideo_efficiency_tpu.ops.sta import (
+            sta_gathered_attention)
+
+        img, txt, tb = _data(self.GRID, lt=24, seed=6)
+        g_img, g_txt = sta_gathered_attention(
+            *img, *txt, tb, grid=self.GRID, tile=self.TILE,
+            window=self.WINDOW, tile_chunk=7)
+        o_img, o_txt = _oracle(img, txt, tb, self.GRID, self.TILE,
+                               self.WINDOW)
+        np.testing.assert_allclose(np.asarray(g_img), np.asarray(o_img),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(g_txt), np.asarray(o_txt),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_gathered_grads_match_oracle(self):
+        from hunyuanvideo_efficiency_tpu.ops.sta import (
+            sta_gathered_attention)
+
+        img, txt, tb = _data(self.GRID, lt=24, seed=7)
+        w1 = jax.random.normal(jax.random.PRNGKey(9),
+                               (1, 1, img[0].shape[2] * img[0].shape[3]))
+
+        def loss_g(iq, ik, iv, tq, tk, tv):
+            a, b2 = sta_gathered_attention(
+                iq, ik, iv, tq, tk, tv, tb, grid=self.GRID,
+                tile=self.TILE, window=self.WINDOW, tile_chunk=8)
+            return jnp.sum(a * w1) + 0.5 * jnp.sum(b2 * w1)
+
+        def loss_o(iq, ik, iv, tq, tk, tv):
+            a, b2 = _oracle((iq, ik, iv), (tq, tk, tv), tb, self.GRID,
+                            self.TILE, self.WINDOW)
+            return jnp.sum(a * w1) + 0.5 * jnp.sum(b2 * w1)
+
+        g_g = jax.grad(loss_g, argnums=(0, 1, 2, 3, 4, 5))(*img, *txt)
+        g_o = jax.grad(loss_o, argnums=(0, 1, 2, 3, 4, 5))(*img, *txt)
+        for a, b2 in zip(g_g, g_o):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       rtol=5e-3, atol=5e-3)
+
+    def test_trainable_wrapper_forward_and_grads(self):
+        from hunyuanvideo_efficiency_tpu.ops.sta import (
+            sta_gathered_attention, sta_joint_attention_trainable)
+
+        img, txt, tb = _data(self.GRID, lt=24, seed=8)
+        kw = dict(grid=self.GRID, tile=self.TILE, window=self.WINDOW)
+        f_img, f_txt = sta_joint_attention_trainable(*img, *txt, tb,
+                                                     bound_mode="static",
+                                                     **kw)
+        k_img, k_txt = sta_joint_attention(*img, *txt, tb,
+                                           bound_mode="static", **kw)
+        np.testing.assert_allclose(np.asarray(f_img), np.asarray(k_img),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_txt), np.asarray(k_txt),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss_t(iq, ik, iv):
+            a, b2 = sta_joint_attention_trainable(
+                iq, ik, iv, *txt, tb, bound_mode="static", **kw)
+            return jnp.sum(a ** 2) + jnp.sum(b2 ** 2)
+
+        def loss_g(iq, ik, iv):
+            a, b2 = sta_gathered_attention(iq, ik, iv, *txt, tb, **kw)
+            return jnp.sum(a ** 2) + jnp.sum(b2 ** 2)
+
+        g_t = jax.grad(loss_t, argnums=(0, 1, 2))(*img)
+        g_g = jax.grad(loss_g, argnums=(0, 1, 2))(*img)
+        for a, b2 in zip(g_t, g_g):
+            # fwd comes from the kernel, cotangents from the gathered form:
+            # identical math, fp fold order differs
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       rtol=2e-3, atol=2e-3)
+
+    def test_dit_sta_forward_differentiates(self):
+        """jax.grad through a tiny DiT with attn_mode='sta' (the
+        joint_attention route) produces finite nonzero grads."""
+        from dataclasses import replace
+
+        from hunyuanvideo_efficiency_tpu.models.dit import (dit_forward,
+                                                            init_dit_params)
+        from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+        from hunyuanvideo_efficiency_tpu.ops.rope import (
+            get_nd_rotary_pos_embed)
+
+        cfg = DiTConfig(hidden_size=64, heads_num=2,
+                        mm_double_blocks_depth=1, mm_single_blocks_depth=1,
+                        rope_dim_list=(8, 12, 12), text_states_dim=32,
+                        text_states_dim_2=16, attn_mode="sta",
+                        sta_tile=(2, 4, 4), sta_window=(3, 3, 3))
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        # zero-init gates block gradient flow to qkv (reference zero-init
+        # behavior); randomize them so the attention branch carries grads
+        rk = iter(jax.random.split(jax.random.PRNGKey(42), 8))
+        for stack in (params["double_blocks"], params["single_blocks"]):
+            for mk in ("modulation", "img_mod", "txt_mod"):
+                if mk in stack:
+                    k = stack[mk]["kernel"]
+                    stack[mk]["kernel"] = 0.05 * jax.random.normal(
+                        next(rk), k.shape, k.dtype)
+        for leaf in ("linear", "adaLN_modulation"):
+            k = params["final_layer"][leaf]["kernel"]
+            params["final_layer"][leaf]["kernel"] = (
+                0.05 * jax.random.normal(next(rk), k.shape, k.dtype))
+        ks = jax.random.split(jax.random.PRNGKey(1), 4)
+        x = jax.random.normal(ks[0], (1, 16, 4, 16, 12), jnp.float32)
+        t = jnp.full((1,), 500.0)
+        pe = jax.random.normal(ks[1], (1, 8, 32), jnp.float32)
+        mask = jnp.ones((1, 8), jnp.int32)
+        pe2 = jax.random.normal(ks[2], (1, 16), jnp.float32)
+        cos, sin = get_nd_rotary_pos_embed(cfg.rope_dim_list, (4, 8, 6),
+                                           theta=cfg.rope_theta)
+
+        def loss(p):
+            out = dit_forward(p, x, t, pe, mask, pe2, cos, sin, cfg=cfg)
+            return jnp.mean(out ** 2)
+
+        grads = jax.grad(loss)(params)
+        qkv_g = grads["double_blocks"]["img_attn_qkv"]["kernel"]
+        assert np.isfinite(np.asarray(qkv_g)).all()
+        assert float(jnp.max(jnp.abs(qkv_g))) > 0
