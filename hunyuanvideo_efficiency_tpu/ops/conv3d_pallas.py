@@ -126,6 +126,7 @@ def conv3d_stride1_pallas(xp: jnp.ndarray, kernel: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "parallel"),
+            vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
     )(xp, kernel.reshape(kt, kh, kw * cin, cout))
@@ -238,6 +239,7 @@ def conv3d_stride1_pallas_v2(xp: jnp.ndarray, kernel: jnp.ndarray,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 4,
+            vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
     )(xp, kernel.reshape(kt, kh, kw * cin, cout))
@@ -261,21 +263,23 @@ def _vmem_bytes(hb, wp, w_out, cin, nb, kt, kh, kw, dbytes=2) -> int:
 
 
 def pick_h_block(x_shape, kernel_shape, n_block: int = 128,
-                 budget: int = 15 * 2 ** 20):
-    """Largest H block (16 then 8) whose per-step footprint fits the 16 MB
-    VMEM scoped limit, or None when even hb=8 exceeds it (route to XLA).
+                 budget: int = 60 * 2 ** 20):
+    """Largest H block (32/16/8) whose per-step footprint fits the raised
+    VMEM budget, or None when even hb=8 exceeds it (route to XLA).
 
     hb=16 measured 61.4 vs 59.2 TFLOP/s over hb=8 at the decoder's 256px
-    128-ch stage, but exceeds the limit at the wide high-channel
-    upsampler stages (512-ch at 128px, 256-ch at 256px are ~20 MB at
-    hb=16) — observed as Mosaic scoped-vmem compile failures in the 720p
-    VAE decode before this gate sized them.
+    128-ch stage; the wide high-channel stages (512-ch at 128px, 256-ch
+    at 256px, ~20 MB/step at hb=16) used to fail Mosaic's default ~16 MB
+    scoped limit — the kernel now requests vmem_limit_bytes=100 MB (like
+    the attention kernels), so the budget here is 60 MB and bigger blocks
+    amortize the kh-1 halo rows at exactly those stages (the r3 bench's
+    512-ch parity case).
     """
     kt, kh, kw, cin, _ = kernel_shape
     h, w = x_shape[2], x_shape[3]
     w_out = -(-w // 8) * 8
     wp = -(-(w_out + kw - 1) // 8) * 8
-    for hb in (16, 8):
+    for hb in (32, 16, 8):
         if h % hb == 0 and _vmem_bytes(hb, wp, w_out, cin, n_block,
                                        kt, kh, kw) <= budget:
             return hb

@@ -530,20 +530,11 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
                              nbr_ref[qi, g * slot_block] >= 0))
     def _group():
         qblk = q_ref[0].reshape(block, hb_d)
-        # per-slot bias rows (the slot-validity mask folds into the bias)
-        kbs = [kb_refs[i][0, 0:1, :]
-               + jnp.where(nbr_ref[qi, g * slot_block + i] >= 0, 0.0,
-                           NEG_INF)
-               for i in range(slot_block)]
+        kbias = jnp.concatenate(
+            [kb_refs[i][0, 0:1, :]
+             + jnp.where(nbr_ref[qi, g * slot_block + i] >= 0, 0.0, NEG_INF)
+             for i in range(slot_block)], axis=-1)
 
-        # Per-slot dot -> exp -> PV chains (no cross-slot concat): the
-        # score concat forced every slot's MXU QK dot to retire before the
-        # single tile-wide VPU exp, and that exp before any PV dot. With
-        # independent per-slot chains the scheduler overlaps slot i's VPU
-        # softmax with slot i+1's MXU dots — the direct analog of the dense
-        # kernel's n_sub sub-tile decomposition (flash_attention.py:41-47,
-        # measured +8% there). Pure-add accumulators make the reassociation
-        # exact up to fp32 fold order.
         for h in range(head_block):
             cs = slice(h * d, (h + 1) * d)
             c = c_ref[bi, hg * head_block + h]
@@ -552,31 +543,34 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
                                0.0)
                 sq = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-6) / 127.0
                 q8 = jnp.round(qf * (1.0 / sq)).astype(jnp.int8)
-            lsum = None
-            pv = None
-            for i in range(slot_block):
-                if quant:
+                parts = []
+                for i in range(slot_block):
                     kf = k_refs[i][0][:, cs].astype(jnp.float32)
                     sk = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-6) / 127.0
                     k8 = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
                     s32 = jax.lax.dot_general(
                         q8, k8, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32)
-                    s = s32.astype(jnp.float32) * (sq * sk * scale)
-                else:
-                    s = jax.lax.dot_general(
+                    parts.append(s32.astype(jnp.float32) * (sq * sk * scale))
+                s = jnp.concatenate(parts, axis=-1)
+            else:
+                s = jnp.concatenate(
+                    [jax.lax.dot_general(
                         qblk[:, cs], k_refs[i][0][:, cs],
                         (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) * scale
-                p = jnp.exp(s + (kbs[i] - c))
-                ls = jnp.sum(p, -1, keepdims=True)
-                lsum = ls if lsum is None else lsum + ls
+                        preferred_element_type=jnp.float32)
+                     for i in range(slot_block)], axis=-1) * scale
+            p = jnp.exp(s + (kbias - c))
+            l_scr[:, h:h + 1] = (l_scr[:, h:h + 1]
+                                 + jnp.sum(p, -1, keepdims=True))
+            blk = p.shape[-1] // slot_block
+            pv = None
+            for i in range(slot_block):
                 pvi = jax.lax.dot_general(
-                    p.astype(v_refs[i].dtype), v_refs[i][0][:, cs],
-                    (((1,), (0,)), ((), ())),
+                    p[:, i * blk:(i + 1) * blk].astype(v_refs[i].dtype),
+                    v_refs[i][0][:, cs], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 pv = pvi if pv is None else pv + pvi
-            l_scr[:, h:h + 1] = l_scr[:, h:h + 1] + lsum
             acc_scr[:, cs] = acc_scr[:, cs] + pv
 
     # final group: fold the resident text keys (bf16 dot even under quant —

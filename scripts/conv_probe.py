@@ -91,7 +91,7 @@ def main():
         kern = jax.random.normal(k2, (3, 3, 3, cin, cout), jnp.bfloat16) * 0.02
         bench(partial(causal_conv3d, impl="3d"), x, kern, "direct-3d   ")
         bench(partial(causal_conv3d, impl="pallas"), x, kern,
-              "pallas-hb8  ")
+              "pallas-auto ")
 
         def pallas_hb(xx, kk, hb):
             from hunyuanvideo_efficiency_tpu.ops.conv3d_pallas import (
@@ -103,9 +103,15 @@ def main():
                               (1, 1 + wp - ww - 2), (0, 0)], mode="edge")
             return conv3d_stride1_pallas(xp, kk, w_out,
                                          h_block=hb)[:, :, :, :ww]
-        bench(partial(pallas_hb, hb=16), x, kern, "pallas-hb16 ")
-        # hb=32 exceeds the 16 MB VMEM scoped limit at W=256 (slab+widened
-        # plane+fp32 acc ≈ 19 MB) — Mosaic refuses the stack allocation.
+        for hb in (8, 16, 32):
+            if x.shape[2] % hb:
+                continue
+            try:
+                bench(partial(pallas_hb, hb=hb), x, kern,
+                      f"pallas-hb{hb:<3d}")
+            except Exception as e:
+                print(f"pallas-hb{hb}: FAILED ({type(e).__name__})",
+                      flush=True)
 
         def pallas_v2(xx, kk, hb):
             from hunyuanvideo_efficiency_tpu.ops.conv3d_pallas import (
