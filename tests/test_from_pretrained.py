@@ -132,3 +132,18 @@ def test_from_pretrained_npz_artifacts(ckpt_dir, tmp_path):
                                    rtol=1e-2, atol=1e-3)
     res = sampler.predict("a cat", 32, 32, 1, seed=2, infer_steps=1)
     assert np.isfinite(res["samples"]).all()
+
+
+def test_from_pretrained_text_encoder_quant_int8(ckpt_dir):
+    import jax.numpy as jnp
+
+    sampler = _make_sampler(ckpt_dir, text_encoder_quant="int8")
+    k = sampler.text_encoder.params["layers"]["self_attn"]["q_proj"]
+    assert k["kernel"].dtype == jnp.int8
+    assert "scale_out" in k
+    # CLIP never quantizes
+    assert sampler.text_encoder_2.params["token_embedding"][
+        "embedding"].dtype != jnp.int8
+    out = sampler.predict("a cat", height=32, width=32, video_length=5,
+                          seed=3, infer_steps=1)
+    assert np.isfinite(out["samples"]).all()
