@@ -98,6 +98,56 @@ def tile_plan(grid: Tuple[int, int, int], tile: Tuple[int, int, int],
     }
 
 
+@functools.lru_cache(maxsize=64)
+def rotation_plan(grid: Tuple[int, int, int], tile: Tuple[int, int, int],
+                  window: Tuple[int, int, int]):
+    """Lane-stable neighbor/DMA tables for the sliding-window direct path.
+
+    The direct kernel is DMA-bound: every key tile is refetched once per
+    neighboring q-tile (~35 GB/layer at 720p, docs/KERNELS.md). This plan
+    turns Mosaic's revisiting elision into a K/V *sliding window*: the img
+    neighborhood rides ONE slot group of wt*wh*ww operand lanes, and lane
+    ``((da+wt//2)*wh + (db+wh//2))*ww + (w+dw) % ww`` holds the neighbor at
+    w-column w+dw. Because the Pallas grid iterates q-tiles w-innermost,
+    stepping w -> w+1 changes the index of only wt*wh of the lanes (the
+    leading column); the other wt*wh*(ww-1) lanes keep the SAME block index
+    between consecutive grid steps, so Mosaic elides their copies — the
+    window slides, cutting key/value DMA ~ww-fold on interior rows.
+
+    Invalid lanes (grid borders) inherit the previous q-tile's index in the
+    ``dma`` table (copy elided; their compute is masked by the per-lane
+    -inf bias), and the txt grid step repeats the img lanes so the window
+    survives it untouched.
+
+    Returns ``(nbr [n_tiles, S], dma [n_tiles, 2*S])`` int32 numpy arrays,
+    with S = wt*wh*ww lanes in kernel order (q-tiles w-innermost row-major,
+    matching the direct kernel's qi decomposition)."""
+    t, h, w = grid
+    tt, th, tw = tile
+    gt, gh, gw = _ceil(t, tt), _ceil(h, th), _ceil(w, tw)
+    n_tiles = gt * gh * gw
+    wt, wh, ww = window
+    n_slots = wt * wh * ww
+    nbr = np.full((n_tiles, n_slots), -1, np.int32)
+    for a in range(gt):
+        for bb_ in range(gh):
+            for cw in range(gw):
+                i = (a * gh + bb_) * gw + cw
+                for da in range(-(wt // 2), wt // 2 + 1):
+                    for db in range(-(wh // 2), wh // 2 + 1):
+                        for dc in range(-(ww // 2), ww // 2 + 1):
+                            aa, bb, cc = a + da, bb_ + db, cw + dc
+                            lane = (((da + wt // 2) * wh + (db + wh // 2))
+                                    * ww + (cw + dc) % ww)
+                            if 0 <= aa < gt and 0 <= bb < gh and 0 <= cc < gw:
+                                nbr[i, lane] = (aa * gh + bb) * gw + cc
+    dma = nbr.copy()
+    dma[0] = np.maximum(dma[0], 0)
+    for i in range(1, n_tiles):
+        dma[i] = np.where(nbr[i] < 0, dma[i - 1], nbr[i])
+    return nbr, np.concatenate([dma, dma], axis=1)
+
+
 def _permute_tokens(x, grid, tile, plan):
     """[B, S_img, H, D] row-major -> [B, S_pad, H, D] tile-major.
 
@@ -473,7 +523,8 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
                              n_groups_img: int, slot_block: int,
                              head_block: int, d: int, quant: bool,
                              tile: Tuple[int, int, int],
-                             grid3: Tuple[int, int, int]):
+                             grid3: Tuple[int, int, int],
+                             rotate: bool = False):
     """Direct-grid variant of _sta_nomax_fused_kernel.
 
     q is read STRAIGHT from the row-major [B, T, H, W, hd] token grid as a
@@ -526,8 +577,15 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
         vw = grid3[2] - (qi % gw_) * tw_
         row_valid = (toff < vt) & (hoff < vh) & (woff < vw)
 
-    @pl.when(jnp.logical_and(g < n_groups_img,
-                             nbr_ref[qi, g * slot_block] >= 0))
+    # rotate (lane-rotation tables): slots are lane-assigned, not
+    # valid-first-compacted, so slot 0 can be invalid on border tiles while
+    # later lanes are valid — the single img group must always run (invalid
+    # lanes are masked by the per-lane -inf bias below).
+    img_gate = (g < n_groups_img if rotate else
+                jnp.logical_and(g < n_groups_img,
+                                nbr_ref[qi, g * slot_block] >= 0))
+
+    @pl.when(img_gate)
     def _group():
         qblk = q_ref[0].reshape(block, hb_d)
         kbias = jnp.concatenate(
@@ -605,10 +663,11 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
 @functools.partial(
     jax.jit, static_argnames=("grid3", "heads", "scale", "block", "n_slots",
                               "interpret", "quant", "slot_block",
-                              "head_block", "tile"))
+                              "head_block", "tile", "rotate"))
 def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
                            heads, scale, block, n_slots, interpret, quant,
-                           tile, slot_block=None, head_block=None):
+                           tile, slot_block=None, head_block=None,
+                           rotate=False, nbr_dma=None):
     """Direct-grid static-offset STA dispatch.
 
     q5 [B, T, H, W, hd] row-major token grid (reshape view — never copied);
@@ -624,20 +683,29 @@ def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
     n_tiles = gt * gh * gw
     ltp = txt_k.shape[1]
 
-    if slot_block is None:
-        slot_block = 4
+    if rotate:
+        # lane-rotation (sliding-window) dispatch: ONE img slot group of
+        # n_slots lanes; nbr/nbr_dma come prebuilt from rotation_plan (the
+        # dma forward-fill runs over n_tiles rows — host numpy, not traced)
+        assert nbr_dma is not None
+        slot_block = n_slots
+        n_groups_img = 1
+        # keep the kernel's nbr reads in bounds at the txt grid step
+        nbr = jnp.pad(nbr, ((0, 0), (0, n_slots)), constant_values=-1)
+    else:
+        if slot_block is None:
+            slot_block = 4
+        n_groups_img = _ceil(n_slots, slot_block)
+        width = (n_groups_img + 1) * slot_block  # +1 = the txt group
+        nbr = jnp.pad(nbr, ((0, 0), (0, width - nbr.shape[1])),
+                      constant_values=-1)
+        # forward-fill: invalid/txt-group slots repeat the previous group's
+        # index so Mosaic's revisiting check elides their K/V copies
+        nbr_dma = _dma_indices(nbr, slot_block)
     if head_block is None:
         head_block = _pick_head_block(heads, d, block, slot_block,
                                       txt_tokens=ltp)
-    n_groups_img = _ceil(n_slots, slot_block)
-    width = (n_groups_img + 1) * slot_block  # +1 = the txt group
-    nbr = jnp.pad(nbr, ((0, 0), (0, width - nbr.shape[1])),
-                  constant_values=-1)
     grid = (b, heads // head_block, n_tiles, n_groups_img + 1)
-
-    # forward-fill: invalid/txt-group slots repeat the previous group's
-    # index so Mosaic's revisiting check elides their K/V copies
-    nbr_dma = _dma_indices(nbr, slot_block)
     hb_d = head_block * d
 
     def kb_spec(i):
@@ -663,11 +731,16 @@ def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
         (1, 8, ltp),
         lambda bi, hi, qi, g, nbr_s, dma_s, c_s: (bi, 0, 0))
 
+    # rotate: the sliding-window elision needs consecutive grid steps along
+    # the q-tile dim to be issued in order — mark qi "arbitrary" so Mosaic
+    # cannot reorder across the lane handoff.
+    sem = (("parallel", "parallel", "arbitrary", "arbitrary") if rotate
+           else ("parallel", "parallel", "parallel", "arbitrary"))
     out = pl.pallas_call(
         functools.partial(_sta_nomax_direct_kernel, scale=scale,
                           n_groups_img=n_groups_img, slot_block=slot_block,
                           head_block=head_block, d=d, quant=quant,
-                          tile=tile, grid3=grid3),
+                          tile=tile, grid3=grid3, rotate=rotate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # nbr (kernel), nbr_dma (maps), c
             grid=grid,
@@ -684,8 +757,7 @@ def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
         ),
         out_shape=jax.ShapeDtypeStruct((b, t, h, w, hd), q5.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
+            dimension_semantics=sem,
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(nbr, nbr_dma, c, *([kb] * slot_block), q5,
@@ -792,6 +864,18 @@ def txt_merge_attention(txt_q, kp, vp, img_bias, txt_k, txt_v, txt_bias,
     return txt_out
 
 
+_LANE_ROTATE = False
+
+
+def set_sta_lane_rotate(on: bool) -> None:
+    """Default for sta_joint_attention(lane_rotate=None) — the sliding-
+    window K/V dispatch of the direct kernel (see rotation_plan). Module-
+    level so the production model path needs no plumbing; flipped by
+    measurement (docs/KERNELS.md)."""
+    global _LANE_ROTATE
+    _LANE_ROTATE = bool(on)
+
+
 def sta_joint_attention(
     img_q: jnp.ndarray,  # [B, S_img, H, D] row-major (t, h, w) tokens
     img_k: jnp.ndarray,
@@ -811,6 +895,7 @@ def sta_joint_attention(
     fused: bool = True,
     score_bound: Optional[jnp.ndarray] = None,
     direct: bool = True,
+    lane_rotate: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """STA for img queries + dense flash for txt queries.
 
@@ -824,6 +909,13 @@ def sta_joint_attention(
     `fused=False` (an ablation knob of the permuted dispatch) takes
     precedence over `direct`: it routes to the permuted unfused kernel, so
     benchmarking callers always get the variant they asked for.
+
+    lane_rotate (direct path only): the sliding-window K/V dispatch — all
+    img slots ride one lane-rotated group (rotation_plan) so consecutive
+    q-tiles along w reuse wt*wh*(ww-1)/n_slots of their key DMA via
+    Mosaic's revisiting elision. Numerically identical math (slot order
+    only permutes commutative softmax folds). None = module default
+    (set_sta_lane_rotate).
 
     score_bound: optional precomputed upper bound on |q.k|*scale
     (broadcastable to [B, H]; see ops/flash_attention.flash_attention).
@@ -876,7 +968,15 @@ def sta_joint_attention(
 
     if bound_mode == "static" and direct and fused:
         plan = tile_plan(tuple(grid), tuple(tile), tuple(window), 0)
-        nbr = jnp.asarray(plan["nbr"])  # img-only neighbor slots
+        rot = _LANE_ROTATE if lane_rotate is None else bool(lane_rotate)
+        if rot:
+            rnbr, rdma = rotation_plan(tuple(grid), tuple(tile),
+                                       tuple(window))
+            nbr = jnp.asarray(rnbr)  # lane-assigned img slots
+            nbr_dma = jnp.asarray(rdma)
+        else:
+            nbr = jnp.asarray(plan["nbr"])  # img-only neighbor slots
+            nbr_dma = None
         kp = _permute_tokens(img_k, grid, tile, plan)
         vp = _permute_tokens(img_v, grid, tile, plan)
         s_pad = kp.shape[1]
@@ -908,7 +1008,8 @@ def sta_joint_attention(
         out5 = _sta_call_nomax_direct(
             nbr, kb, q5, kp, vp, txt_k_f, txt_v_f, tbb, c, tuple(grid), hh,
             float(scale), block, plan["n_slots"], interpret, qk_int8,
-            tuple(tile), slot_block=slot_block, head_block=head_block)
+            tuple(tile), slot_block=slot_block, head_block=head_block,
+            rotate=rot, nbr_dma=nbr_dma)
         img_out = out5.reshape(b, s_img, hh * d)
 
         if interpret:

@@ -198,6 +198,56 @@ def test_sta_direct_matches_permuted(grid):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("grid", [
+    (3, 9, 10),   # ragged in every axis -> partial edge blocks
+    (4, 8, 8),    # exact tiling
+])
+@pytest.mark.parametrize("qk_int8", [False, True])
+def test_sta_lane_rotate_matches_permuted(grid, qk_int8):
+    # the sliding-window (lane-rotation) dispatch only permutes the slot
+    # order of commutative softmax folds — it must match the permuted
+    # oracle path like the plain direct kernel does
+    tile, window = (2, 4, 4), (3, 3, 3)
+    img, txt, tb = _data(grid, lt=24, seed=3)
+    kw = dict(grid=grid, tile=tile, window=window, bound_mode="static",
+              qk_int8=qk_int8)
+    r_img, r_txt = sta_joint_attention(*img, *txt, tb, direct=True,
+                                       lane_rotate=True, **kw)
+    p_img, p_txt = sta_joint_attention(*img, *txt, tb, direct=False, **kw)
+    tol = 5e-2 if qk_int8 else 1e-5
+    np.testing.assert_allclose(np.asarray(r_img), np.asarray(p_img),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(r_txt), np.asarray(p_txt),
+                               rtol=tol, atol=tol)
+
+
+def test_rotation_plan_slides_one_column_per_step():
+    # along a w-row sweep, exactly wt*wh lanes may change their DMA index
+    # per step (the leading column); all other lanes keep the same index so
+    # Mosaic's revisiting check elides their copies — this IS the sliding
+    # window, so regressions here silently triple the kernel's key DMA
+    from hunyuanvideo_efficiency_tpu.ops.sta import rotation_plan
+    grid, tile, window = (8, 8, 32), (2, 4, 4), (3, 3, 3)
+    nbr, dma = rotation_plan(grid, tile, window)
+    gt, gh, gw = 4, 2, 8
+    wt, wh, ww = window
+    assert nbr.shape == (gt * gh * gw, wt * wh * ww)
+    assert dma.shape == (gt * gh * gw, 2 * wt * wh * ww)
+    # txt-step columns repeat the img lanes (window survives the txt step)
+    np.testing.assert_array_equal(dma[:, wt * wh * ww:], dma[:, :wt * wh * ww])
+    for i in range(1, gt * gh * gw):
+        if i % gw == 0:
+            continue  # row restart: full refetch allowed
+        changed = int((dma[i, :wt * wh * ww] != dma[i - 1, :wt * wh * ww])
+                      .sum())
+        assert changed <= wt * wh, (i, changed)
+    # the lane tables must cover exactly the tile_plan neighbor sets
+    plan = tile_plan(grid, tile, window, 0)
+    for i in range(gt * gh * gw):
+        assert (set(nbr[i][nbr[i] >= 0].tolist())
+                == set(plan["nbr"][i][plan["nbr"][i] >= 0].tolist())), i
+
+
 def test_txt_merge_attention_matches_dense_oracle():
     """Interpret-mode oracle for the TPU-only txt path of the direct STA
     branch (sta.py: txt_merge_attention — two flash states with a shared
