@@ -114,6 +114,18 @@ def set_int8_impl(impl: str) -> None:
     _INT8_IMPL = impl
 
 
+_COLCHUNK_UNROLL = False
+"""Column-chunk loop form: False = fori_loop (guaranteed single-temp),
+True = static-slice unroll with an optimization_barrier chain (same temp
+bound via explicit sequencing; no dynamic-slice weight copies or loop
+drains). Set by measurement — see docs/KERNELS.md W8A8 table."""
+
+
+def set_colchunk_unroll(on: bool) -> None:
+    global _COLCHUNK_UNROLL
+    _COLCHUNK_UNROLL = bool(on)
+
+
 def _int8_linear(p: Params, x: jnp.ndarray,
                  act: Optional[str] = None) -> jnp.ndarray:
     """`act` (an ACT key) fuses into the Pallas store epilogue when the
@@ -180,7 +192,31 @@ def _int8_linear_colchunked(p: Params, x: jnp.ndarray, post) -> jnp.ndarray:
         return jax.lax.dynamic_update_slice_in_dim(acc, y, j * bn, axis=-1)
 
     out = jnp.zeros(x.shape[:-1] + (n,), x.dtype)
-    return jax.lax.fori_loop(0, nc, body, out)
+    if not _COLCHUNK_UNROLL:
+        return jax.lax.fori_loop(0, nc, body, out)
+
+    # Unrolled variant (measured alternative, set_colchunk_unroll): STATIC
+    # weight slices (no per-iteration dynamic-slice copy, no while-loop
+    # pipeline drain between chunks). The temp bound still holds: each
+    # chunk's input rides an optimization_barrier with the previous
+    # chunk's output, so the scheduler cannot materialize two [L, bn] s32
+    # temps at once.
+    outs = []
+    gate = xq
+    for j in range(nc):
+        y = jax.lax.dot_general(
+            gate, w[..., j * bn:(j + 1) * bn],
+            (((gate.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * sx * so[..., 0, j * bn:(j + 1) * bn]
+        if bias is not None:
+            y = y + jax.lax.slice_in_dim(
+                bias, j * bn, (j + 1) * bn, axis=-1).astype(jnp.float32)
+        y = post(y.astype(x.dtype))
+        if j + 1 < nc:
+            y, gate = jax.lax.optimization_barrier((y, gate))
+        outs.append(y)
+    return jnp.concatenate(outs, axis=-1)
 
 
 def _int8_linear_body(p: Params, x: jnp.ndarray) -> jnp.ndarray:

@@ -21,6 +21,7 @@ kernel (they are ~256 tokens — negligible cost).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -146,6 +147,68 @@ def rotation_plan(grid: Tuple[int, int, int], tile: Tuple[int, int, int],
     for i in range(1, n_tiles):
         dma[i] = np.where(nbr[i] < 0, dma[i - 1], nbr[i])
     return nbr, np.concatenate([dma, dma], axis=1)
+
+
+@functools.lru_cache(maxsize=64)
+def rotation_plan_grouped(grid: Tuple[int, int, int],
+                          tile: Tuple[int, int, int],
+                          window: Tuple[int, int, int]):
+    """Grouped variant of rotation_plan: ww slot GROUPS of wt*wh lanes, one
+    per neighborhood w-column, keeping the per-step granularity the mega
+    single-group layout gives up (measured: one 27-slot step loses Mosaic's
+    cross-step VPU/MXU/DMA pipelining, docs/KERNELS.md).
+
+    Group order per q-tile is ``[col w, ..., col w+1 LAST]`` so the LAST
+    img group of tile w, the txt step (which repeats it), and the FIRST
+    group of tile w+1 all carry col w+1 in the same lanes — Mosaic's
+    revisiting check elides that group's fetches across the tile boundary:
+    ~1/3 of key/value DMA gone on interior rows, with head grouping and
+    step granularity unchanged.
+
+    Returns ``(nbr [n_tiles, ww*wt*wh], dma [n_tiles, (ww+1)*wt*wh],
+    gate_lane)`` — gate_lane is the (da=0, db=0) lane whose validity is
+    exactly "this group's column exists", letting the kernel skip fully
+    out-of-grid column groups on w-border tiles."""
+    t, h, w = grid
+    tt, th, tw = tile
+    gt, gh, gw = _ceil(t, tt), _ceil(h, th), _ceil(w, tw)
+    n_tiles = gt * gh * gw
+    wt, wh, ww = window
+    lanes = wt * wh
+    # column visit order: current first, +1 last (the handoff column);
+    # middles in any fixed order
+    dcs = ([0] + [-k for k in range(1, ww // 2 + 1)]
+           + [k for k in range(ww // 2, 1, -1)] + ([1] if ww > 1 else []))
+    assert len(dcs) == ww and (ww == 1 or dcs[-1] == 1)
+    nbr = np.full((n_tiles, ww * lanes), -1, np.int32)
+    for a in range(gt):
+        for b_ in range(gh):
+            for cw in range(gw):
+                i = (a * gh + b_) * gw + cw
+                for gi, dc in enumerate(dcs):
+                    cc = cw + dc
+                    if not 0 <= cc < gw:
+                        continue
+                    for da in range(-(wt // 2), wt // 2 + 1):
+                        for db in range(-(wh // 2), wh // 2 + 1):
+                            aa, bb = a + da, b_ + db
+                            if 0 <= aa < gt and 0 <= bb < gh:
+                                lane = (gi * lanes
+                                        + (da + wt // 2) * wh
+                                        + (db + wh // 2))
+                                nbr[i, lane] = (aa * gh + bb) * gw + cc
+    # per-STEP forward fill (global (qi, group) order): invalid lanes
+    # inherit the previous step's same-lane index -> copy elided
+    dma = np.zeros((n_tiles, (ww + 1) * lanes), np.int32)
+    prev = np.zeros(lanes, np.int32)
+    for i in range(n_tiles):
+        for gi in range(ww):
+            cur = nbr[i, gi * lanes:(gi + 1) * lanes]
+            prev = np.where(cur < 0, prev, cur).astype(np.int32)
+            dma[i, gi * lanes:(gi + 1) * lanes] = prev
+        dma[i, ww * lanes:] = prev  # txt step repeats -> window survives
+    gate_lane = (wt // 2) * wh + (wh // 2)
+    return nbr, dma, gate_lane
 
 
 def _permute_tokens(x, grid, tile, plan):
@@ -524,7 +587,7 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
                              head_block: int, d: int, quant: bool,
                              tile: Tuple[int, int, int],
                              grid3: Tuple[int, int, int],
-                             rotate: bool = False):
+                             gate_lane: Optional[int] = 0):
     """Direct-grid variant of _sta_nomax_fused_kernel.
 
     q is read STRAIGHT from the row-major [B, T, H, W, hd] token grid as a
@@ -577,13 +640,17 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
         vw = grid3[2] - (qi % gw_) * tw_
         row_valid = (toff < vt) & (hoff < vh) & (woff < vw)
 
-    # rotate (lane-rotation tables): slots are lane-assigned, not
-    # valid-first-compacted, so slot 0 can be invalid on border tiles while
-    # later lanes are valid — the single img group must always run (invalid
-    # lanes are masked by the per-lane -inf bias below).
-    img_gate = (g < n_groups_img if rotate else
-                jnp.logical_and(g < n_groups_img,
-                                nbr_ref[qi, g * slot_block] >= 0))
+    # Group skipping: gate_lane is the slot whose validity decides whether
+    # the whole group runs. Non-rotate tables are valid-first-compacted so
+    # lane 0 works; grouped-rotation tables are lane-assigned and pass the
+    # (da=0, db=0) lane ("this column exists"); the mega single-group
+    # layout passes None (always run — invalid lanes are masked by the
+    # per-lane -inf bias below either way).
+    if gate_lane is None:
+        img_gate = g < n_groups_img
+    else:
+        img_gate = jnp.logical_and(
+            g < n_groups_img, nbr_ref[qi, g * slot_block + gate_lane] >= 0)
 
     @pl.when(img_gate)
     def _group():
@@ -663,11 +730,11 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
 @functools.partial(
     jax.jit, static_argnames=("grid3", "heads", "scale", "block", "n_slots",
                               "interpret", "quant", "slot_block",
-                              "head_block", "tile", "rotate"))
+                              "head_block", "tile", "rotate", "gate_lane"))
 def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
                            heads, scale, block, n_slots, interpret, quant,
                            tile, slot_block=None, head_block=None,
-                           rotate=False, nbr_dma=None):
+                           rotate=False, nbr_dma=None, gate_lane=None):
     """Direct-grid static-offset STA dispatch.
 
     q5 [B, T, H, W, hd] row-major token grid (reshape view — never copied);
@@ -684,15 +751,26 @@ def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
     ltp = txt_k.shape[1]
 
     if rotate:
-        # lane-rotation (sliding-window) dispatch: ONE img slot group of
-        # n_slots lanes; nbr/nbr_dma come prebuilt from rotation_plan (the
-        # dma forward-fill runs over n_tiles rows — host numpy, not traced)
+        # lane-rotation (sliding-window) dispatch: nbr/nbr_dma come
+        # prebuilt from rotation_plan / rotation_plan_grouped (the dma
+        # forward-fill runs over n_tiles rows — host numpy, not traced).
+        # "mega": ONE img group of n_slots lanes; "grouped": one group per
+        # neighborhood w-column (per-step granularity kept, boundary-group
+        # elision).
         assert nbr_dma is not None
-        slot_block = n_slots
-        n_groups_img = 1
+        if rotate == "grouped":
+            lanes = nbr_dma.shape[1] - nbr.shape[1]
+            slot_block = lanes
+            n_groups_img = n_slots // lanes
+            assert n_groups_img * lanes == n_slots
+        else:
+            slot_block = n_slots
+            n_groups_img = 1
+            gate_lane = None  # single always-valid group
         # keep the kernel's nbr reads in bounds at the txt grid step
-        nbr = jnp.pad(nbr, ((0, 0), (0, n_slots)), constant_values=-1)
+        nbr = jnp.pad(nbr, ((0, 0), (0, slot_block)), constant_values=-1)
     else:
+        gate_lane = 0  # valid-first-compacted tables
         if slot_block is None:
             slot_block = 4
         n_groups_img = _ceil(n_slots, slot_block)
@@ -733,14 +811,17 @@ def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
 
     # rotate: the sliding-window elision needs consecutive grid steps along
     # the q-tile dim to be issued in order — mark qi "arbitrary" so Mosaic
-    # cannot reorder across the lane handoff.
-    sem = (("parallel", "parallel", "arbitrary", "arbitrary") if rotate
-           else ("parallel", "parallel", "parallel", "arbitrary"))
+    # cannot reorder across the lane handoff. STA_QI_SEM overrides for
+    # measurement (isolating the semantics cost from the table layout).
+    qi_arb = (os.environ["STA_QI_SEM"] == "arbitrary"
+              if os.environ.get("STA_QI_SEM") else bool(rotate))
+    sem = ("parallel", "parallel",
+           "arbitrary" if qi_arb else "parallel", "arbitrary")
     out = pl.pallas_call(
         functools.partial(_sta_nomax_direct_kernel, scale=scale,
                           n_groups_img=n_groups_img, slot_block=slot_block,
                           head_block=head_block, d=d, quant=quant,
-                          tile=tile, grid3=grid3, rotate=rotate),
+                          tile=tile, grid3=grid3, gate_lane=gate_lane),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # nbr (kernel), nbr_dma (maps), c
             grid=grid,
@@ -867,13 +948,14 @@ def txt_merge_attention(txt_q, kp, vp, img_bias, txt_k, txt_v, txt_bias,
 _LANE_ROTATE = False
 
 
-def set_sta_lane_rotate(on: bool) -> None:
+def set_sta_lane_rotate(on) -> None:
     """Default for sta_joint_attention(lane_rotate=None) — the sliding-
-    window K/V dispatch of the direct kernel (see rotation_plan). Module-
-    level so the production model path needs no plumbing; flipped by
+    window K/V dispatch of the direct kernel: False, "grouped"
+    (rotation_plan_grouped; True is an alias), or "mega" (rotation_plan).
+    Module-level so the production model path needs no plumbing; set by
     measurement (docs/KERNELS.md)."""
     global _LANE_ROTATE
-    _LANE_ROTATE = bool(on)
+    _LANE_ROTATE = on if isinstance(on, str) else bool(on)
 
 
 def sta_joint_attention(
@@ -968,12 +1050,22 @@ def sta_joint_attention(
 
     if bound_mode == "static" and direct and fused:
         plan = tile_plan(tuple(grid), tuple(tile), tuple(window), 0)
-        rot = _LANE_ROTATE if lane_rotate is None else bool(lane_rotate)
-        if rot:
+        rot = _LANE_ROTATE if lane_rotate is None else lane_rotate
+        rot = "grouped" if rot is True else (rot or False)
+        gate_lane = None
+        if rot == "grouped":
+            rnbr, rdma, gate_lane = rotation_plan_grouped(
+                tuple(grid), tuple(tile), tuple(window))
+            nbr = jnp.asarray(rnbr)
+            nbr_dma = jnp.asarray(rdma)
+        elif rot == "mega":
             rnbr, rdma = rotation_plan(tuple(grid), tuple(tile),
                                        tuple(window))
             nbr = jnp.asarray(rnbr)  # lane-assigned img slots
             nbr_dma = jnp.asarray(rdma)
+        elif rot:
+            raise ValueError(f"lane_rotate must be False/True/'mega'/"
+                             f"'grouped', got {rot!r}")
         else:
             nbr = jnp.asarray(plan["nbr"])  # img-only neighbor slots
             nbr_dma = None
@@ -1009,7 +1101,7 @@ def sta_joint_attention(
             nbr, kb, q5, kp, vp, txt_k_f, txt_v_f, tbb, c, tuple(grid), hh,
             float(scale), block, plan["n_slots"], interpret, qk_int8,
             tuple(tile), slot_block=slot_block, head_block=head_block,
-            rotate=rot, nbr_dma=nbr_dma)
+            rotate=rot, nbr_dma=nbr_dma, gate_lane=gate_lane)
         img_out = out5.reshape(b, s_img, hh * d)
 
         if interpret:

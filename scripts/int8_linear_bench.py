@@ -54,7 +54,14 @@ def main():
         def run(p, u):
             def step(carry, _):
                 y = body(p, carry)
-                s = (0.001 * jnp.mean(y[..., :1].astype(jnp.float32))
+                # fold a sample touching EVERY output column into the
+                # carry: a first-column-only probe let XLA dead-code-
+                # eliminate all but the first chunk of unrolled column-
+                # chunked forms (measured an impossible 761 TOP/s). Row
+                # sampling (full minor dim) keeps the reads contiguous —
+                # a column-strided probe (y[..., ::129]) itself cost
+                # ~18 ms at [118.8k, 12288]
+                s = (0.001 * jnp.mean(y[:, ::1024].astype(jnp.float32))
                      ).astype(carry.dtype)
                 return carry + s, None
             out, _ = jax.lax.scan(step, u, None, length=REPS)
@@ -68,10 +75,19 @@ def main():
     # the production dispatch (_int8_linear): unchunked where the s32 temp
     # fits, column-chunked above the budget (quantize once, slide the dot
     # over output column blocks)
+    from hunyuanvideo_efficiency_tpu.models import dit as _dit
     from hunyuanvideo_efficiency_tpu.models.dit import _int8_linear
     td = timeit(chain(lambda p, u: _int8_linear(p, u)), p8, x)
     print(f"dispatch (col-chunk when needed): {td * 1e3:7.2f} ms "
           f"{flops / td / 1e12:6.1f} TOP/s", flush=True)
+    if L > _dit._INT8_CHUNK_TOKENS and L * n * 4 > _dit._INT8_TEMP_BUDGET:
+        _dit.set_colchunk_unroll(True)
+        try:
+            tu = timeit(chain(lambda p, u: _int8_linear(p, u)), p8, x)
+            print(f"col-chunk UNROLLED (barrier):     {tu * 1e3:7.2f} ms "
+                  f"{flops / tu / 1e12:6.1f} TOP/s", flush=True)
+        finally:
+            _dit.set_colchunk_unroll(False)
 
     from hunyuanvideo_efficiency_tpu.ops.int8_matmul import (
         int8_linear_pallas)

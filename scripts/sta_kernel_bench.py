@@ -63,13 +63,15 @@ def main():
     else:
         sb = int(os.environ.get("STA_SLOT_BLOCK", 0)) or None
         hb = int(os.environ.get("STA_HEAD_BLOCK", 0)) or None
-        rot = "--rotate" in sys.argv
+        rot = ("mega" if "--rotate-mega" in sys.argv else
+               ("grouped" if "--rotate" in sys.argv else False))
         fn = jax.jit(lambda a, c, e, f, g, i: sta_joint_attention(
             a, c, e, f, g, i, None, grid=grid, tile=tile, window=window,
             bound_mode="static", qk_int8=qk_int8, slot_block=sb,
             head_block=hb, lane_rotate=rot))
         flops = sta_flops
-        label = f"sta{'_int8' if qk_int8 else ''}{'_rotate' if rot else ''}"
+        label = (f"sta{'_int8' if qk_int8 else ''}"
+                 f"{'_rotate_' + rot if rot else ''}")
 
     out = fn(img_q, img_k, img_v, txt_q, txt_k, txt_v)
     img_o = out[0] if isinstance(out, tuple) else out

@@ -170,6 +170,26 @@ class TestInt8:
                                    np.asarray(unchunked),
                                    rtol=1e-6, atol=1e-6)
 
+    def test_int8_colchunk_unrolled_matches_fori(self, monkeypatch):
+        # the static-slice unrolled form (optimization_barrier chain) is
+        # the same math as the fori_loop form — bit-exact per chunk
+        import hunyuanvideo_efficiency_tpu.models.dit as dit_mod
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_tensor_int8)
+
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+        w = jax.random.normal(k1, (64, 256)) * 0.05
+        b = jax.random.normal(k3, (256,)) * 0.1
+        x = jax.random.normal(k2, (1, 40, 64))
+        q = {**quantize_tensor_int8(w), "bias": b}
+        monkeypatch.setattr(dit_mod, "_INT8_CHUNK_TOKENS", 16)
+        monkeypatch.setattr(dit_mod, "_INT8_TEMP_BUDGET", 1)
+        ref = dit_mod._int8_linear(q, x, act="silu")
+        monkeypatch.setattr(dit_mod, "_COLCHUNK_UNROLL", True)
+        out = dit_mod._int8_linear(q, x, act="silu")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_int8_col_row_slices_match_slice_of_full(self):
         from hunyuanvideo_efficiency_tpu.models.dit import (
             _col_slice, _row_slice, linear)

@@ -203,16 +203,17 @@ def test_sta_direct_matches_permuted(grid):
     (4, 8, 8),    # exact tiling
 ])
 @pytest.mark.parametrize("qk_int8", [False, True])
-def test_sta_lane_rotate_matches_permuted(grid, qk_int8):
-    # the sliding-window (lane-rotation) dispatch only permutes the slot
-    # order of commutative softmax folds — it must match the permuted
+@pytest.mark.parametrize("mode", ["mega", "grouped"])
+def test_sta_lane_rotate_matches_permuted(grid, qk_int8, mode):
+    # the sliding-window (lane-rotation) dispatches only permute the slot
+    # order of commutative softmax folds — they must match the permuted
     # oracle path like the plain direct kernel does
     tile, window = (2, 4, 4), (3, 3, 3)
     img, txt, tb = _data(grid, lt=24, seed=3)
     kw = dict(grid=grid, tile=tile, window=window, bound_mode="static",
               qk_int8=qk_int8)
     r_img, r_txt = sta_joint_attention(*img, *txt, tb, direct=True,
-                                       lane_rotate=True, **kw)
+                                       lane_rotate=mode, **kw)
     p_img, p_txt = sta_joint_attention(*img, *txt, tb, direct=False, **kw)
     tol = 5e-2 if qk_int8 else 1e-5
     np.testing.assert_allclose(np.asarray(r_img), np.asarray(p_img),
@@ -242,6 +243,42 @@ def test_rotation_plan_slides_one_column_per_step():
                       .sum())
         assert changed <= wt * wh, (i, changed)
     # the lane tables must cover exactly the tile_plan neighbor sets
+    plan = tile_plan(grid, tile, window, 0)
+    for i in range(gt * gh * gw):
+        assert (set(nbr[i][nbr[i] >= 0].tolist())
+                == set(plan["nbr"][i][plan["nbr"][i] >= 0].tolist())), i
+
+
+def test_rotation_plan_grouped_boundary_elision():
+    # the grouped layout's contract: the LAST img group of tile w, the txt
+    # step, and the FIRST group of tile w+1 carry identical lane indices
+    # (col w+1), so Mosaic elides that group's fetches across the boundary
+    from hunyuanvideo_efficiency_tpu.ops.sta import rotation_plan_grouped
+    grid, tile, window = (8, 8, 32), (2, 4, 4), (3, 3, 3)
+    nbr, dma, gate_lane = rotation_plan_grouped(grid, tile, window)
+    gt, gh, gw = 4, 2, 8
+    wt, wh, ww = window
+    L = wt * wh
+    assert nbr.shape == (gt * gh * gw, ww * L)
+    assert dma.shape == (gt * gh * gw, (ww + 1) * L)
+    assert gate_lane == (wt // 2) * wh + (wh // 2)
+    # txt step repeats the last img group
+    np.testing.assert_array_equal(dma[:, ww * L:], dma[:, (ww - 1) * L:ww * L])
+    for i in range(1, gt * gh * gw):
+        if i % gw == 0:
+            continue
+        # boundary handoff: first group of tile i == last group of tile i-1
+        np.testing.assert_array_equal(dma[i, :L], dma[i - 1, ww * L:],
+                                      err_msg=str(i))
+    # gate_lane validity == "column exists": group g of tile (.., cw)
+    # is gated off exactly when cw + dc is out of grid
+    dcs = [0, -1, 1]
+    for i in range(gt * gh * gw):
+        cw = i % gw
+        for g, dc in enumerate(dcs):
+            valid = 0 <= cw + dc < gw
+            assert (nbr[i, g * L + gate_lane] >= 0) == valid, (i, g)
+    # coverage: same neighbor sets as tile_plan
     plan = tile_plan(grid, tile, window, 0)
     for i in range(gt * gh * gw):
         assert (set(nbr[i][nbr[i] >= 0].tolist())
