@@ -160,7 +160,11 @@ def bench_step(height, width, frames, repeats=3, sta=False, int8=False,
                           or (4096 if big else 8192),
                           seq_pad_multiple=1024,
                           attn_head_chunks=(head_chunks if head_chunks
-                                            else 4 if big else 1))
+                                            else 2 if big else 1))
+    # head_chunks at 720p: 4 -> 2 measured 16.77 -> 16.02 s/step (24-head
+    # STA calls run ~12 ms/layer faster than 6-head ones; see
+    # docs/KERNELS.md slot_block/head-group notes); 1 fails to compile
+    # through the remote-compile helper (program too large).
     params = build_fp8_params(cfg, jnp.bfloat16,
                               quant="int8" if int8 else "fp8",
                               quant_refiner=big and int8,

@@ -772,7 +772,11 @@ def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
     else:
         gate_lane = 0  # valid-first-compacted tables
         if slot_block is None:
-            slot_block = 4
+            # On-chip sweep at 720p bf16 (r4, full layer): sb=1 107.2 ms,
+            # sb=2 104.1, sb=3 105.9, sb=4 112.0, sb=8 134.3 — smaller
+            # slot groups pipeline DMA/compute across more grid steps and
+            # skip border waste at finer grain; 2 is the sweet spot.
+            slot_block = 2
         n_groups_img = _ceil(n_slots, slot_block)
         width = (n_groups_img + 1) * slot_block  # +1 = the txt group
         nbr = jnp.pad(nbr, ((0, 0), (0, width - nbr.shape[1])),

@@ -62,7 +62,7 @@ def main():
     h, w, f = args.height, args.width, args.frames
     cfg = load_dit_config("HYVideo-T/2-cfgdistill", attn_mode="sta",
                           mlp_chunk_tokens=4096, seq_pad_multiple=1024,
-                          attn_head_chunks=4)
+                          attn_head_chunks=2)
 
     # ---- phase 1: TEXT — the 8B+CLIP towers encode a real prompt with
     # the production template + crop_start on this chip, then are freed

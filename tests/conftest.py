@@ -21,3 +21,23 @@ jax.config.update("jax_enable_x64", False)
 # CPU matmuls default to fp32 anyway; make it explicit so parity tolerances
 # hold if a test ever runs on TPU hardware.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiler_state(request):
+    """Bound the in-process XLA:CPU compiler state.
+
+    A full-suite run (~280 tests, hundreds of CPU compiles in one process)
+    segfaulted twice inside backend_compile at the VAE compiles near the
+    end, while both half-suite subsets pass — an XLA:CPU crash tied to
+    cumulative compile state, not to any test (128 GB host, negligible
+    RSS). Dropping the jit caches just before the late heavyweight modules
+    keeps the compiler state bounded at the point that crashed; clearing
+    between EVERY module measured ~6x slower (shared kernels recompile)."""
+    if request.module.__name__ in ("test_training", "test_utils",
+                                   "test_vae"):
+        jax.clear_caches()
+    yield
