@@ -25,6 +25,7 @@ Parameter tree layout (linears are {'kernel': [in, out], 'bias': [out]}):
 """
 from __future__ import annotations
 
+import os
 import math
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -74,9 +75,11 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-_INT8_TEMP_BUDGET = 1_500_000_000
+_INT8_TEMP_BUDGET = int(os.environ.get("INT8_TEMP_BUDGET",
+                                       1_500_000_000))
 """Byte budget for _int8_linear's widest transient, [L, out] x 4 (the
-s8xs8 dot's s32/f32 output before the bf16 cast).
+s8xs8 dot's s32/f32 output before the bf16 cast). INT8_TEMP_BUDGET env
+overrides for measurement (read at import).
 
 At 720p-class lengths (118.8k tokens) the wide projections (qkv 9216,
 mlp 12288) would transiently need 4.4-5.8 GB — with 13B int8 params
