@@ -125,6 +125,13 @@ drains). Set by measurement — see docs/KERNELS.md W8A8 table."""
 
 
 def set_colchunk_unroll(on: bool) -> None:
+    """Pick the column-chunk loop form (_COLCHUNK_UNROLL above).
+
+    Read at TRACE time: an already-jit-cached step keeps the form it was
+    traced with until something forces a retrace (new shapes/statics or a
+    fresh jit wrapper). Flip it BEFORE building the jitted step; benchmark
+    harnesses that rebuild their jit per measurement (bench.py's chain())
+    are unaffected."""
     global _COLCHUNK_UNROLL
     _COLCHUNK_UNROLL = bool(on)
 

@@ -730,11 +730,13 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
 @functools.partial(
     jax.jit, static_argnames=("grid3", "heads", "scale", "block", "n_slots",
                               "interpret", "quant", "slot_block",
-                              "head_block", "tile", "rotate", "gate_lane"))
+                              "head_block", "tile", "rotate", "gate_lane",
+                              "qi_sem"))
 def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
                            heads, scale, block, n_slots, interpret, quant,
                            tile, slot_block=None, head_block=None,
-                           rotate=False, nbr_dma=None, gate_lane=None):
+                           rotate=False, nbr_dma=None, gate_lane=None,
+                           qi_sem=None):
     """Direct-grid static-offset STA dispatch.
 
     q5 [B, T, H, W, hd] row-major token grid (reshape view — never copied);
@@ -758,6 +760,10 @@ def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
         # neighborhood w-column (per-step granularity kept, boundary-group
         # elision).
         assert nbr_dma is not None
+        assert slot_block is None, (
+            "slot_block is derived from the rotation plan when rotate is "
+            "set; pass slot_block=None (callers normalize — see "
+            "sta_joint_attention)")
         if rotate == "grouped":
             lanes = nbr_dma.shape[1] - nbr.shape[1]
             slot_block = lanes
@@ -815,10 +821,12 @@ def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
 
     # rotate: the sliding-window elision needs consecutive grid steps along
     # the q-tile dim to be issued in order — mark qi "arbitrary" so Mosaic
-    # cannot reorder across the lane handoff. STA_QI_SEM overrides for
-    # measurement (isolating the semantics cost from the table layout).
-    qi_arb = (os.environ["STA_QI_SEM"] == "arbitrary"
-              if os.environ.get("STA_QI_SEM") else bool(rotate))
+    # cannot reorder across the lane handoff. `qi_sem` overrides for
+    # measurement (isolating the semantics cost from the table layout); it
+    # is a STATIC jit arg read from STA_QI_SEM by the unjitted caller
+    # (sta_joint_attention) so a changed env var can never alias a cached
+    # trace.
+    qi_arb = (qi_sem == "arbitrary") if qi_sem else bool(rotate)
     sem = ("parallel", "parallel",
            "arbitrary" if qi_arb else "parallel", "arbitrary")
     out = pl.pallas_call(
@@ -957,7 +965,12 @@ def set_sta_lane_rotate(on) -> None:
     window K/V dispatch of the direct kernel: False, "grouped"
     (rotation_plan_grouped; True is an alias), or "mega" (rotation_plan).
     Module-level so the production model path needs no plumbing; set by
-    measurement (docs/KERNELS.md)."""
+    measurement (docs/KERNELS.md).
+
+    Read at TRACE time (it selects the dispatched variant inside
+    sta_joint_attention): a jit-cached outer step keeps the variant it was
+    traced with until a retrace. Flip it BEFORE building the jitted step;
+    harnesses that rebuild their jit per measurement are unaffected."""
     global _LANE_ROTATE
     _LANE_ROTATE = on if isinstance(on, str) else bool(on)
 
@@ -1104,8 +1117,13 @@ def sta_joint_attention(
         out5 = _sta_call_nomax_direct(
             nbr, kb, q5, kp, vp, txt_k_f, txt_v_f, tbb, c, tuple(grid), hh,
             float(scale), block, plan["n_slots"], interpret, qk_int8,
-            tuple(tile), slot_block=slot_block, head_block=head_block,
-            rotate=rot, nbr_dma=nbr_dma, gate_lane=gate_lane)
+            tuple(tile),
+            # rotation plans fix their own slot grouping — normalize a
+            # caller-provided slot_block away so it can neither be silently
+            # ignored nor mint redundant jit traces
+            slot_block=None if rot else slot_block, head_block=head_block,
+            rotate=rot, nbr_dma=nbr_dma, gate_lane=gate_lane,
+            qi_sem=os.environ.get("STA_QI_SEM") or None)
         img_out = out5.reshape(b, s_img, hh * d)
 
         if interpret:

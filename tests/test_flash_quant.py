@@ -589,3 +589,141 @@ class TestFlashStaticOffset:
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref, np.float32),
                                    rtol=4e-2, atol=4e-2)
+
+
+class TestInt4Modulation:
+    """int4-packed adaLN modulation storage (beyond-reference; the tier the
+    720p single-chip headline config enables — ops/quantization.py
+    quantize_dit_params_int4_modulation / dequantize_int4)."""
+
+    def test_pack_unpack_roundtrip_bound(self):
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            dequantize_int4, quantize_tensor_int4)
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (3, 64, 96)) * 0.3
+        q = quantize_tensor_int4(w)
+        assert q["kernel_i4"].dtype == jnp.uint8
+        assert q["kernel_i4"].shape == (3, 64, 48)  # two values per byte
+        assert q["scale_out"].shape == (3, 1, 96)
+        deq = dequantize_int4(q, jnp.float32)
+        assert deq.shape == w.shape
+        # symmetric grid [-7, 7]: rounding error <= scale/2 = amax/14
+        amax = np.max(np.abs(np.asarray(w)), axis=-2, keepdims=True)
+        err = np.abs(np.asarray(deq) - np.asarray(w))
+        assert (err <= amax / 14.0 + 1e-6).all(), float(err.max())
+
+    def test_pack_unpack_exact_on_grid(self):
+        # every code in [-7, 7] in BOTH nibbles survives pack/unpack
+        # bit-exactly (sign extension of the high nibble is the trap)
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            dequantize_int4, quantize_tensor_int4)
+
+        codes = np.arange(-7, 8, dtype=np.float32)  # 15 codes
+        # [in=15, out=30]: every (low, high) code pairing appears
+        w = jnp.asarray(np.stack([np.roll(codes, i) for i in range(15)]
+                                 ).repeat(2, axis=1))
+        q = quantize_tensor_int4(w)
+        deq = dequantize_int4(q, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(deq), np.asarray(w))
+
+    def test_linear_dispatch_matches_dequant_oracle(self):
+        # models/dit.linear() routes kernel_i4 leaves through the packed
+        # path; it must equal the explicit fp32 dequant matmul
+        from hunyuanvideo_efficiency_tpu.models.dit import linear
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            dequantize_int4, quantize_tensor_int4)
+
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+        w = jax.random.normal(k1, (64, 48)) * 0.1
+        b = jax.random.normal(k2, (48,)) * 0.1
+        x = jax.random.normal(k3, (2, 10, 64))
+        q = {**quantize_tensor_int4(w), "bias": b}
+        out = linear(q, x)
+        ref = x @ dequantize_int4(q, x.dtype) + b
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_quantize_dit_params_covers_only_modulation(self):
+        from hunyuanvideo_efficiency_tpu.models.dit import init_dit_params
+        from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_dit_params_int4_modulation)
+
+        cfg = DiTConfig(hidden_size=128, heads_num=4,
+                        mm_double_blocks_depth=2, mm_single_blocks_depth=2,
+                        rope_dim_list=(8, 12, 12), text_states_dim=64,
+                        text_states_dim_2=32, attn_mode="sdpa")
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        qp = quantize_dit_params_int4_modulation(params)
+        for blocks, mks in (("double_blocks", ("img_mod", "txt_mod")),
+                            ("single_blocks", ("modulation",))):
+            for mk in mks:
+                assert "kernel_i4" in qp[blocks][mk], (blocks, mk)
+                assert "kernel" not in qp[blocks][mk]
+                assert "bias" in qp[blocks][mk]  # bias stays fp
+            # non-modulation linears untouched
+        assert qp["double_blocks"]["img_attn_qkv"]["kernel"].dtype \
+            == params["double_blocks"]["img_attn_qkv"]["kernel"].dtype
+        # the final layer's adaLN stays high precision (only block
+        # modulation is packed, like the reference's fp8 coverage)
+        assert qp["final_layer"]["adaLN_modulation"]["kernel"].dtype \
+            == params["final_layer"]["adaLN_modulation"]["kernel"].dtype
+
+    def test_int4_on_top_of_int8_tier(self):
+        # the headline config stacks int4 modulation ON the int8 tier:
+        # the int8-quantized modulation leaf must be dequantized first
+        # (scale_out), not packed raw
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            dequantize_int4, quantize_dit_params_int4_modulation,
+            quantize_tensor_int8)
+
+        w = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 48)) * 0.2
+        params = {"single_blocks": {"modulation": quantize_tensor_int8(w)}}
+        qp = quantize_dit_params_int4_modulation(params)
+        deq = dequantize_int4(qp["single_blocks"]["modulation"], jnp.float32)
+        err = float(jnp.max(jnp.abs(deq - w)))
+        amax = float(jnp.max(jnp.abs(w)))
+        assert err < amax / 7.0, err  # int4 grid around the TRUE values
+
+    def test_dit_forward_with_int4_modulation(self):
+        from hunyuanvideo_efficiency_tpu.models.dit import (
+            dit_forward, init_dit_params)
+        from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_dit_params_int4_modulation)
+        from hunyuanvideo_efficiency_tpu.ops.rope import (
+            get_nd_rotary_pos_embed)
+
+        cfg = DiTConfig(hidden_size=128, heads_num=4,
+                        mm_double_blocks_depth=2, mm_single_blocks_depth=2,
+                        rope_dim_list=(8, 12, 12), text_states_dim=64,
+                        text_states_dim_2=32, attn_mode="sdpa")
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        # modulation linears are zero-init (reference modulate_layers.py
+        # zero-init): randomize them so the tier is actually exercised
+        ks = iter(jax.random.split(jax.random.PRNGKey(7), 8))
+        for blocks, mks in (("double_blocks", ("img_mod", "txt_mod")),
+                            ("single_blocks", ("modulation",))):
+            for mk in mks:
+                p = params[blocks][mk]
+                p["kernel"] = jax.random.normal(
+                    next(ks), p["kernel"].shape, jnp.float32) * 0.05
+                p["bias"] = jax.random.normal(
+                    next(ks), p["bias"].shape, jnp.float32) * 0.05
+        qparams = quantize_dit_params_int4_modulation(params)
+
+        key = jax.random.PRNGKey(2)
+        ks = jax.random.split(key, 4)
+        x = jax.random.normal(ks[0], (1, 16, 3, 8, 6), jnp.float32)
+        t = jnp.full((1,), 500.0)
+        pe = jax.random.normal(ks[1], (1, 8, 64), jnp.float32)
+        mask = jnp.ones((1, 8), jnp.int32)
+        pe2 = jax.random.normal(ks[2], (1, 32), jnp.float32)
+        cos, sin = get_nd_rotary_pos_embed(cfg.rope_dim_list, (3, 4, 3),
+                                           theta=cfg.rope_theta)
+        ref = dit_forward(params, x, t, pe, mask, pe2, cos, sin, cfg=cfg)
+        out = dit_forward(qparams, x, t, pe, mask, pe2, cos, sin, cfg=cfg)
+        err = float(jnp.max(jnp.abs(out - ref)))
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+        assert err / scale < 0.15, f"int4 rel err too large: {err/scale}"
+        assert np.isfinite(np.asarray(out)).all()

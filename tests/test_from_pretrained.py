@@ -147,3 +147,18 @@ def test_from_pretrained_text_encoder_quant_int8(ckpt_dir):
     out = sampler.predict("a cat", height=32, width=32, video_length=5,
                           seed=3, infer_steps=1)
     assert np.isfinite(out["samples"]).all()
+
+
+def test_from_pretrained_int4_modulation(ckpt_dir):
+    import jax.numpy as jnp
+
+    sampler = _make_sampler(ckpt_dir, use_int8=True,
+                            use_int4_modulation=True)
+    blocks = sampler.transformer_params["double_blocks"]
+    assert blocks["img_mod"]["kernel_i4"].dtype == jnp.uint8
+    assert "kernel" not in blocks["img_mod"]
+    # the rest of the int8 tier is intact underneath
+    assert blocks["img_attn_qkv"]["kernel"].dtype == jnp.int8
+    out = sampler.predict("a cat", height=32, width=32, video_length=5,
+                          seed=3, infer_steps=1)
+    assert np.isfinite(out["samples"]).all()
