@@ -440,6 +440,12 @@ def main():
 
 
 if __name__ == "__main__":
+    # every invocation (parent driver AND the per-config subprocess
+    # attempts) warm-starts from the persistent compile cache
+    from hunyuanvideo_efficiency_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
     if len(sys.argv) > 1 and sys.argv[1] == "--mesh":
         # e.g. `python bench.py --mesh dp:1,ulysses:8 --virtual` — the
         # sharded-predict bench (virtual CPU mesh: correctness-only;

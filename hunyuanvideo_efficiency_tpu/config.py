@@ -134,6 +134,11 @@ class InferenceArgs:
     # default) = decide from the runtime: fuse where unconstrained, chunk
     # to fit a program-duration watchdog (diffusion/dispatch.py).
     scan_denoise: Optional[bool] = None
+    # Persistent XLA compilation cache directory: "auto" = the package
+    # default user-cache path (utils/compile_cache.py), "" = disabled,
+    # anything else = explicit path. Fresh processes warm-start from it —
+    # see the measured numbers in utils/compile_cache.py.
+    compile_cache_dir: str = "auto"
     # Accepted for reference-flag compatibility (config.py:355-359, threads
     # into text-encoder do_sample there). Our stack is deterministic by
     # construction: explicit PRNG keys, greedy text encode, no sampling —
@@ -245,6 +250,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "use-int8", d.use_int8)
     _add_bool_flag(p, "use-int4-modulation", d.use_int4_modulation)
     _add_bool_flag(p, "scan-denoise", d.scan_denoise)
+    g.add_argument("--compile-cache-dir", type=str, default=d.compile_cache_dir)
     _add_bool_flag(p, "reproduce", d.reproduce)
 
     g = p.add_argument_group("parallel")

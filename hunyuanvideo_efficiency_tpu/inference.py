@@ -91,6 +91,17 @@ class Inference:
         if pretrained_model_path is not None:
             args.model_base = str(pretrained_model_path)
 
+        # warm-start every entry point: compiled executables persist across
+        # processes (utils/compile_cache.py; the reference's eager CUDA
+        # kernels never pay a compile, so cold-process compiles are a
+        # TPU-only cost this removes after the first run)
+        cache_dir = getattr(args, "compile_cache_dir", "auto")
+        if cache_dir:
+            from .utils.compile_cache import enable_compilation_cache
+
+            enable_compilation_cache(
+                None if cache_dir == "auto" else cache_dir)
+
         if getattr(args, "mesh_shape", None):
             # "--mesh-shape dp:2,ulysses:2,ring:2" (sp: alias for ulysses)
             degrees = {"dp": 1, "ulysses": 1, "ring": 1}

@@ -858,6 +858,323 @@ def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
     return out
 
 
+def _permute_tokens_cols(x, grid, tile, padded_grid):
+    """[B, S_img, H, D] row-major -> [B, S_pad, HD] in w-MAJOR tile order
+    (tile index s = (c*gt + a)*gh + b): one window COLUMN of a q-row —
+    tiles {(a+da, clamp-run of wh rows, c)} — is wt contiguous runs of wh
+    tiles, so the ring kernel fetches it with wt DMAs instead of wt*wh."""
+    b, s, hh, d = x.shape
+    tp, hp, wp = padded_grid
+    t, h, w = grid
+    tt, th, tw = tile
+    xg = x.reshape(b, t, h, w, hh * d)
+    xg = jnp.pad(xg, ((0, 0), (0, tp - t), (0, hp - h), (0, wp - w), (0, 0)))
+    xg = xg.reshape(b, tp // tt, tt, hp // th, th, wp // tw, tw, hh * d)
+    xg = xg.transpose(0, 5, 1, 3, 2, 4, 6, 7)  # b, gw, gt, gh, tt, th, tw
+    return xg.reshape(b, tp * hp * wp, hh * d)
+
+
+def _cols_img_bias(grid, tile, padded_grid):
+    """Token-validity bias (0 / NEG_INF) over the w-major tile order of
+    _permute_tokens_cols — host numpy, static per shape."""
+    t, h, w = grid
+    tt, th, tw = tile
+    tp, hp, wp = padded_grid
+    v = np.zeros((tp, hp, wp), np.float32)
+    v[:t, :h, :w] = 1.0
+    v = v.reshape(tp // tt, tt, hp // th, th, wp // tw, tw)
+    v = v.transpose(4, 0, 2, 1, 3, 5).reshape(-1)
+    return np.where(v > 0, 0.0, NEG_INF).astype(np.float32)
+
+
+def _pick_head_block_ring(heads: int, d: int, block: int,
+                          window: Tuple[int, int, int], itemsize: int = 2,
+                          budget: int = 64 * 2 ** 20) -> int:
+    """Largest divisor of `heads` whose K+V ring fits the VMEM budget.
+
+    Ring bytes = 2 (K,V) * (ww+1) slots * wt*wh*block tokens * hb*d * 2B.
+    At 720p/24 heads/(3,3,3)/256-token tiles: hb=24 needs 113 MB -> picks
+    hb=12 (56.6 MB), two head groups."""
+    wt, wh, ww = window
+    colrows = wt * wh * block
+    for hb in range(heads, 0, -1):
+        if heads % hb:
+            continue
+        if 2 * (ww + 1) * colrows * hb * d * itemsize <= budget:
+            return hb
+    return 1
+
+
+_RING_PROBE = ""
+"""Bench-only stage isolation for the ring kernel (trace-time; see
+set_sta_lane_rotate's retrace note): "" production; "noexp" replaces the
+softmax exp with identity (isolates VPU transcendental cost); "nodma"
+skips all issue/wait (stale ring data — isolates DMA stalls); "dots"
+both. Set via scripts/sta_kernel_bench.py --probe=..."""
+
+
+def _sta_ring_kernel(c_ref, kp_hbm, vp_hbm, q_ref, tk_ref, tv_ref, tb_ref,
+                     o_ref, kring, vring, l_scr, acc_scr, sems, *,
+                     scale: float, grid3: Tuple[int, int, int],
+                     tgrid: Tuple[int, int, int],
+                     tile: Tuple[int, int, int],
+                     window: Tuple[int, int, int], head_block: int, d: int,
+                     probe: str = ""):
+    """Manual K/V ring-buffer STA: one grid step = ONE whole q-tile.
+
+    The BlockSpec-driven direct kernel refetches each key tile once per
+    neighboring q-tile (~35 GB/layer at 720p) and its measured 88 ms =
+    ~48 ms MXU floor + ~43 ms K/V DMA barely overlapping
+    (docs/KERNELS.md). Here the wt*wh*ww-tile neighborhood lives in an
+    explicit VMEM ring of ww+1 window COLUMNS: sweeping the q-tiles
+    w-innermost, each step waits one previously-issued column (wt runs of
+    wh contiguous tiles in the w-major kp/vp layout,
+    _permute_tokens_cols), issues the column two steps ahead, and reuses
+    the other ww-1 columns in place — K/V HBM traffic drops ~ww-fold on
+    interior rows, and the double-buffered issue distance keeps the DMA
+    under the compute. Border validity (t/h/w window edges + ragged-grid
+    zero padding) is a lane bias computed in-kernel from iota/scalars, so
+    no kb operand or neighbor table exists at all; out-of-range runs fetch
+    a clamped valid tile (never uninitialized VMEM) and are masked -inf.
+    Static-offset softmax only (pure-add accumulators, as
+    _sta_nomax_direct_kernel)."""
+    t, h, w = grid3
+    gt, gh, gw = tgrid
+    tt, th, tw = tile
+    wt, wh, ww = window
+    block = tt * th * tw
+    hb_d = head_block * d
+    nring = ww + 1
+    seg = wh * block          # tokens per (column, da) run
+    colrows = wt * seg        # tokens per window column
+
+    bi = pl.program_id(0)
+    hg = pl.program_id(1)
+    ri = pl.program_id(2)
+    cw = pl.program_id(3)
+    a = ri // gh
+    bh = ri - a * gh
+    sb = jnp.clip(bh - wh // 2, 0, gh - wh)  # clamped h-run start
+
+    def col_dma(cc, kind, da):
+        slot = jax.lax.rem(cc, nring)
+        aa = jnp.clip(a + da - wt // 2, 0, gt - 1)
+        s0 = ((cc * gt) + aa) * gh + sb
+        src, dst = ((kp_hbm, kring), (vp_hbm, vring))[kind]
+        return pltpu.make_async_copy(
+            src.at[bi, pl.ds(s0 * block, seg), pl.ds(hg * hb_d, hb_d)],
+            dst.at[slot, pl.ds(da * seg, seg), :],
+            sems.at[slot, kind, da])
+
+    def issue(cc):
+        for kind in range(2):
+            for da in range(wt):
+                col_dma(cc, kind, da).start()
+
+    def wait(cc):
+        for kind in range(2):
+            for da in range(wt):
+                col_dma(cc, kind, da).wait()
+
+    # Pipeline: at step cw the window {cw-1, cw, cw+1} must be resident.
+    # Column cc is issued at step cc-2 and waited at step cc-1; the row
+    # prologue (cw == 0) seeds columns 0 and 1. Ring slot cc % (ww+1) is
+    # last read at step cc+1 and next written at step cc+ww+1 (issued at
+    # cc+ww-1 >= cc+2) — no overlap for ww >= 2; ww == 1 windows are
+    # degenerate (tw-wide attention) and not routed here.
+    if probe != "nodma" and probe != "dots":
+        @pl.when(jnp.logical_and(jnp.logical_and(bi == 0, hg == 0),
+                                 jnp.logical_and(ri == 0, cw == 0)))
+        def _zero_ring_once():
+            # the very first row reads ring slots never written (the left
+            # column at cw=0, the right column at cw=gw-1 when gw < ww+1);
+            # uninitialized VMEM may hold NaN patterns that would poison
+            # the unconditional masked folds below (NaN * 0 = NaN). One
+            # memset per kernel invocation, BEFORE the prologue's DMAs.
+            kring[...] = jnp.zeros_like(kring)
+            vring[...] = jnp.zeros_like(vring)
+
+        @pl.when(cw == 0)
+        def _prologue():
+            issue(0)
+            if gw > 1:
+                issue(1)
+            wait(0)
+
+        @pl.when(cw + 2 < gw)
+        def _issue_ahead():
+            issue(cw + 2)
+
+        @pl.when(cw + 1 < gw)
+        def _wait_next():
+            wait(cw + 1)
+
+    qblk = q_ref[0].reshape(block, hb_d)
+
+    def col_bias(dc):
+        """Lane-validity bias for window column cw+dc: window membership
+        in t/h, ragged-grid token validity, and whole-column range — all
+        from iota/scalars, so no kb operand or neighbor table exists."""
+        cc = cw + dc
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, colrows), 1)
+        tile_i = lane // block
+        da_i = tile_i // wh
+        r_i = tile_i - da_i * wh
+        tok = lane - tile_i * block
+        to = tok // (th * tw)
+        ho = (tok // tw) - to * th
+        wo = tok - (tok // tw) * tw
+        aa = a + da_i - wt // 2
+        bb = sb + r_i
+        valid = jnp.logical_and(
+            jnp.logical_and(aa >= 0, aa < gt),
+            jnp.abs(bb - bh) <= wh // 2)
+        valid = jnp.logical_and(
+            valid,
+            jnp.logical_and(
+                jnp.logical_and(aa * tt + to < t, bb * th + ho < h),
+                cc * tw + wo < w))
+        valid = jnp.logical_and(
+            valid, jnp.logical_and(cc >= 0, cc < gw))
+        return jnp.where(valid, 0.0, NEG_INF)
+
+    # Best-measured fold form (see the ablation table in docs/KERNELS.md):
+    # per-column pl.when border skip + scratch accumulators + per-da-run
+    # sub-tiling. Measured alternatives at 720p, all worse: whole-column
+    # [256, wt*wh*block] folds 137.5 ms (score block exceeds the ~2 MB
+    # vector register file), unconditional straight-line 157.8 (border
+    # waste), phase-unrolled static slots 168.5, pure-register SSA
+    # accumulation 141.8, all-parallel semantics 143.9 — vs 131.4 for
+    # this form and 104-108 for the BlockSpec kernel.
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    def fold_column(dc, slot):
+        cc = cw + dc
+        extra = col_bias(dc)
+        for hh_ in range(head_block):
+            cs = slice(hh_ * d, (hh_ + 1) * d)
+            cb = c_ref[bi, hg * head_block + hh_]
+            for ci in range(wt):
+                rs = slice(ci * seg, (ci + 1) * seg)
+                s = jax.lax.dot_general(
+                    qblk[:, cs], kring[slot, rs, cs],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                if probe in ("noexp", "dots"):
+                    p = s + (extra[:, rs] - cb)
+                else:
+                    p = jnp.exp(s + (extra[:, rs] - cb))
+                l_scr[:, hh_:hh_ + 1] = (l_scr[:, hh_:hh_ + 1]
+                                         + jnp.sum(p, -1, keepdims=True))
+                acc_scr[:, cs] = acc_scr[:, cs] + jax.lax.dot_general(
+                    p.astype(vring.dtype), vring[slot, rs, cs],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+    for dc in range(-(ww // 2), ww // 2 + 1):
+        cc = cw + dc
+
+        @pl.when(jnp.logical_and(cc >= 0, cc < gw))
+        def _col(dc=dc):
+            if probe == "static0":  # perf probe: wrong data, static slots
+                fold_column(dc, (dc + nring) % nring)
+            else:
+                # +nring before rem: lax.rem keeps sign, cw+dc can be -1
+                fold_column(dc, jax.lax.rem(cw + dc + nring, nring))
+
+    # fold the resident text keys, normalize, store the tile
+    tb = tb_ref[0, 0:1, :]
+    for hh_ in range(head_block):
+        cs = slice(hh_ * d, (hh_ + 1) * d)
+        cb = c_ref[bi, hg * head_block + hh_]
+        s = jax.lax.dot_general(
+            qblk[:, cs], tk_ref[0][:, cs], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s + (tb - cb))
+        l_scr[:, hh_:hh_ + 1] = (l_scr[:, hh_:hh_ + 1]
+                                 + jnp.sum(p, -1, keepdims=True))
+        acc_scr[:, cs] = acc_scr[:, cs] + jax.lax.dot_general(
+            p.astype(tv_ref.dtype), tv_ref[0][:, cs],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    denom = jnp.concatenate(
+        [jnp.broadcast_to(jnp.maximum(l_scr[:, hh_:hh_ + 1], 1e-37),
+                          (block, d))
+         for hh_ in range(head_block)], axis=1)
+    o_ref[0] = ((acc_scr[...] / denom)
+                .astype(o_ref.dtype)
+                .reshape(tt, th, tw, hb_d))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid3", "heads", "scale", "block",
+                              "interpret", "tile", "window", "head_block"))
+def _sta_call_ring(q5, kp, vp, txt_k, txt_v, tb, c, grid3, heads, scale,
+                   block, interpret, tile, window, head_block=None):
+    """Ring-buffer direct-grid STA dispatch (static-bound, bf16 QK).
+
+    q5 [B, T, H, W, hd] row-major; kp/vp [B, S_pad, hd] w-MAJOR tile order
+    (_permute_tokens_cols); txt_k/txt_v [B, Ltp, hd]; tb [B, 8, Ltp] text
+    key bias; c [B, H] static score bounds. Returns [B, T, H, W, hd]."""
+    b = q5.shape[0]
+    hd = q5.shape[-1]
+    d = hd // heads
+    t, h, w = grid3
+    tt, th, tw = tile
+    wt, wh, ww = window
+    gt, gh, gw = _ceil(t, tt), _ceil(h, th), _ceil(w, tw)
+    ltp = txt_k.shape[1]
+    if head_block is None:
+        head_block = _pick_head_block_ring(heads, d, block, window)
+    hb_d = head_block * d
+    colrows = wt * wh * block
+
+    def qo_idx(bi, hg, ri, cw, c_s):
+        return (bi, ri // gh, ri - (ri // gh) * gh, cw, hg)
+
+    qo_spec = pl.BlockSpec((1, tt, th, tw, hb_d), qo_idx)
+    tkv_spec = pl.BlockSpec((1, ltp, hb_d),
+                            lambda bi, hg, ri, cw, c_s: (bi, 0, hg))
+    tb_spec = pl.BlockSpec((1, 8, ltp),
+                           lambda bi, hg, ri, cw, c_s: (bi, 0, 0))
+
+    out = pl.pallas_call(
+        functools.partial(_sta_ring_kernel, scale=scale, grid3=grid3,
+                          tgrid=(gt, gh, gw), tile=tile, window=window,
+                          head_block=head_block, d=d, probe=_RING_PROBE),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # c (score bounds)
+            grid=(b, heads // head_block, gt * gh, gw),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # kp
+                pl.BlockSpec(memory_space=pl.ANY),  # vp
+                qo_spec, tkv_spec, tkv_spec, tb_spec,
+            ],
+            out_specs=qo_spec,
+            scratch_shapes=[
+                pltpu.VMEM((ww + 1, colrows, hb_d), q5.dtype),  # K ring
+                pltpu.VMEM((ww + 1, colrows, hb_d), q5.dtype),  # V ring
+                pltpu.VMEM((block, 128), jnp.float32),          # l
+                pltpu.VMEM((block, hb_d), jnp.float32),         # acc
+                pltpu.SemaphoreType.DMA((ww + 1, 2, wt)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
+        compiler_params=pltpu.CompilerParams(
+            # rows/w must execute in issue order (the ring hand-off is a
+            # cross-step scratch dependency); b/heads stay parallel.
+            # probe="par" measures the arbitrary-semantics cost (ordering
+            # unsound in principle — perf diagnosis only).
+            dimension_semantics=(("parallel",) * 4 if _RING_PROBE == "par"
+                                 else ("parallel", "parallel", "arbitrary",
+                                       "arbitrary")),
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(c, kp, vp, q5, txt_k, txt_v, tb)
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("heads", "scale", "block", "n_slots",
                               "interpret", "slot_block", "head_block"))
@@ -957,6 +1274,19 @@ def txt_merge_attention(txt_q, kp, vp, img_bias, txt_k, txt_v, txt_bias,
     return txt_out
 
 
+_STA_RING = False
+
+
+def set_sta_ring(on: bool) -> None:
+    """Default for sta_joint_attention(ring=None) — route the static-bound
+    direct path through the manual K/V ring-buffer kernel (_sta_call_ring)
+    when the geometry admits it. Read at TRACE time (see
+    set_sta_lane_rotate's retrace note). Default set by on-chip
+    measurement (docs/KERNELS.md)."""
+    global _STA_RING
+    _STA_RING = bool(on)
+
+
 _LANE_ROTATE = False
 
 
@@ -995,6 +1325,7 @@ def sta_joint_attention(
     score_bound: Optional[jnp.ndarray] = None,
     direct: bool = True,
     lane_rotate: Optional[bool] = None,
+    ring: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """STA for img queries + dense flash for txt queries.
 
@@ -1069,6 +1400,62 @@ def sta_joint_attention(
         plan = tile_plan(tuple(grid), tuple(tile), tuple(window), 0)
         rot = _LANE_ROTATE if lane_rotate is None else lane_rotate
         rot = "grouped" if rot is True else (rot or False)
+
+        # ring-buffer dispatch: manual K/V DMA with cross-q-tile window
+        # reuse — the geometry gate needs >= wh h-tile rows for the
+        # clamped contiguous runs and a ww >= 2 window for the slot-reuse
+        # analysis in _sta_ring_kernel; qk_int8 and lane-rotation keep the
+        # BlockSpec-driven kernel.
+        wt_, wh_, ww_ = window
+        gt_g, gh_g, gw_g = (_ceil(grid[0], tile[0]), _ceil(grid[1], tile[1]),
+                            _ceil(grid[2], tile[2]))
+        use_ring = ((_STA_RING if ring is None else ring)
+                    and not rot and not qk_int8
+                    and gh_g >= wh_ and ww_ >= 2
+                    and slot_block is None)
+        if use_ring:
+            pg = (gt_g * tile[0], gh_g * tile[1], gw_g * tile[2])
+            kp = _permute_tokens_cols(img_k, grid, tile, pg)
+            vp = _permute_tokens_cols(img_v, grid, tile, pg)
+            img_bias = jnp.broadcast_to(
+                jnp.asarray(_cols_img_bias(tuple(grid), tuple(tile), pg),
+                            jnp.float32)[None], (b, kp.shape[1]))
+
+            lane = 8 if interpret else 128
+            ltp = _ceil(lt, lane) * lane
+            txt_k_f = txt_k.reshape(b, lt, hh * d)
+            txt_v_f = txt_v.reshape(b, lt, hh * d)
+            tb = (txt_bias.reshape(b, lt).astype(jnp.float32)
+                  if txt_bias is not None
+                  else jnp.zeros((b, lt), jnp.float32))
+            if ltp != lt:
+                txt_k_f = jnp.pad(txt_k_f, ((0, 0), (0, ltp - lt), (0, 0)))
+                txt_v_f = jnp.pad(txt_v_f, ((0, 0), (0, ltp - lt), (0, 0)))
+                tb = jnp.pad(tb, ((0, 0), (0, ltp - lt)),
+                             constant_values=NEG_INF)
+            tbb = jnp.broadcast_to(tb[:, None, :], (b, 8, ltp))
+
+            c = static_bound()
+            q5 = img_q.reshape(b, grid[0], grid[1], grid[2], hh * d)
+            out5 = _sta_call_ring(
+                q5, kp, vp, txt_k_f, txt_v_f, tbb, c, tuple(grid), hh,
+                float(scale), block, interpret, tuple(tile), tuple(window),
+                head_block=head_block)
+            img_out = out5.reshape(b, s_img, hh * d)
+
+            if interpret:
+                full_kb = jnp.concatenate(
+                    [jnp.zeros((b, 1, 1, s_img), jnp.float32),
+                     txt_bias.astype(jnp.float32) if txt_bias is not None
+                     else jnp.zeros((b, 1, 1, lt), jnp.float32)], axis=-1)
+                k_all = jnp.concatenate([img_k, txt_k], axis=1)
+                v_all = jnp.concatenate([img_v, txt_v], axis=1)
+                txt_out = attention(txt_q, k_all, v_all, mode="chunked",
+                                    key_bias=full_kb, scale=scale)
+                return img_out, txt_out
+            txt_out = txt_merge_attention(txt_q, kp, vp, img_bias, txt_k,
+                                          txt_v, txt_bias, c, scale)
+            return img_out, txt_out
         gate_lane = None
         if rot == "grouped":
             rnbr, rdma, gate_lane = rotation_plan_grouped(

@@ -35,6 +35,10 @@ sys.path.insert(0, ".")
 
 
 def main():
+    from hunyuanvideo_efficiency_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--height", type=int, default=720)

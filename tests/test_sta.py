@@ -491,3 +491,62 @@ class TestTrainableSTA:
         qkv_g = grads["double_blocks"]["img_attn_qkv"]["kernel"]
         assert np.isfinite(np.asarray(qkv_g)).all()
         assert float(jnp.max(jnp.abs(qkv_g))) > 0
+
+
+@pytest.mark.parametrize("grid", [
+    (3, 12, 10),   # ragged t/w -> partial tiles; gh=3 (ring minimum)
+    (4, 16, 16),   # exact tiling everywhere
+    (2, 12, 4),    # gw=1: the w window fully clamped
+    (5, 20, 7),    # ragged h/w, gh=5, gw=2 (prologue-only pipeline)
+])
+def test_sta_ring_matches_permuted(grid):
+    # the manual K/V ring-buffer kernel (explicit double-buffered column
+    # DMA, no neighbor tables) only reorders commutative softmax folds —
+    # it must match the permuted oracle path like the direct kernel does
+    tile, window = (2, 4, 4), (3, 3, 3)
+    img, txt, tb = _data(grid, lt=24, seed=4)
+    kw = dict(grid=grid, tile=tile, window=window, bound_mode="static")
+    r_img, r_txt = sta_joint_attention(*img, *txt, tb, ring=True, **kw)
+    p_img, p_txt = sta_joint_attention(*img, *txt, tb, direct=False, **kw)
+    np.testing.assert_allclose(np.asarray(r_img), np.asarray(p_img),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_txt), np.asarray(p_txt),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sta_ring_matches_masked_oracle():
+    # end-to-end against the dense masked-SDPA oracle (not just the other
+    # kernel): ragged grid, anisotropic window with wt=1
+    grid, tile, window = (3, 13, 9), (2, 4, 4), (1, 3, 3)
+    img, txt, tb = _data(grid, lt=24, seed=5)
+    got_img, got_txt = sta_joint_attention(
+        *img, *txt, tb, grid=grid, tile=tile, window=window,
+        bound_mode="static", ring=True)
+    want_img, want_txt = _oracle(img, txt, tb, grid, tile, window)
+    np.testing.assert_allclose(np.asarray(got_img), np.asarray(want_img),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_txt), np.asarray(want_txt),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_sta_ring_head_groups_match_ungrouped():
+    grid, tile, window = (3, 12, 8), (2, 4, 4), (3, 3, 3)
+    img, txt, tb = _data(grid, lt=24, seed=6)
+    kw = dict(grid=grid, tile=tile, window=window, bound_mode="static",
+              ring=True)
+    full = sta_joint_attention(*img, *txt, tb, head_block=2, **kw)
+    grouped = sta_joint_attention(*img, *txt, tb, head_block=1, **kw)
+    np.testing.assert_allclose(np.asarray(grouped[0]), np.asarray(full[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sta_ring_geometry_fallback():
+    # gh < wh cannot run the clamped contiguous h-runs: ring=True must
+    # silently fall back to the BlockSpec direct kernel, same numerics
+    grid, tile, window = (3, 8, 10), (2, 4, 4), (3, 3, 3)  # gh=2 < 3
+    img, txt, tb = _data(grid, lt=24, seed=7)
+    kw = dict(grid=grid, tile=tile, window=window, bound_mode="static")
+    r = sta_joint_attention(*img, *txt, tb, ring=True, **kw)
+    d = sta_joint_attention(*img, *txt, tb, ring=False, **kw)
+    np.testing.assert_allclose(np.asarray(r[0]), np.asarray(d[0]),
+                               rtol=1e-6, atol=1e-6)

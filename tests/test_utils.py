@@ -100,3 +100,29 @@ class TestNativeMetricsCore:
         a = rng.randint(0, 255, (2, 33, 33, 3), np.uint8)
         assert psnr_video(a, a) == float("inf")
         assert ssim_video(a, a) == pytest.approx(1.0)
+
+
+class TestCompileCache:
+    def test_enable_sets_config_and_creates_dir(self, tmp_path):
+        import jax
+
+        from hunyuanvideo_efficiency_tpu.utils.compile_cache import (
+            enable_compilation_cache)
+
+        target = tmp_path / "xla_cache"
+        path = enable_compilation_cache(str(target))
+        assert path == str(target)
+        assert target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+
+    def test_disabled_modes(self, monkeypatch, tmp_path):
+        from hunyuanvideo_efficiency_tpu.utils import compile_cache
+
+        assert compile_cache.enable_compilation_cache("") is None
+        assert compile_cache.enable_compilation_cache("0") is None
+        monkeypatch.setenv(compile_cache._ENV, "0")
+        assert compile_cache.enable_compilation_cache() is None
+        # env path resolution
+        monkeypatch.setenv(compile_cache._ENV, str(tmp_path / "envdir"))
+        path = compile_cache.enable_compilation_cache()
+        assert path == str(tmp_path / "envdir")
