@@ -415,6 +415,7 @@ class HunyuanVideoPipeline:
         scan_denoise: Optional[bool] = None,
         block_chunks: Optional[Tuple[int, int]] = None,
         progress_callback=None,
+        output_dtype: str = "float32",
     ) -> HunyuanVideoPipelineOutput:
         self.check_inputs(height, width, video_length, vae_ver)
         do_cfg = guidance_scale > 1.0
@@ -586,4 +587,16 @@ class HunyuanVideoPipeline:
             self.vae.enable_tiling()
         image = self.vae.decode(z)
         image = jnp.clip(image.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        # cast ON DEVICE before the host transfer: the fp32 720p x 129f
+        # video is 1.43 GB and the readback rides this environment's
+        # remote tunnel (measured ~120 s of the warm E2E's decode leg);
+        # uint8 is what the mp4 writer quantizes to anyway (4x fewer
+        # bytes), float16 halves the bytes losslessly for [0, 1] video
+        if output_dtype == "uint8":
+            image = jnp.round(image * 255.0).astype(jnp.uint8)
+        elif output_dtype == "float16":
+            image = image.astype(jnp.float16)
+        elif output_dtype != "float32":
+            raise ValueError(f"output_dtype must be float32|float16|uint8, "
+                             f"got {output_dtype!r}")
         return HunyuanVideoPipelineOutput(videos=np.asarray(image))

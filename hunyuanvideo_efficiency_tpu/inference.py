@@ -341,6 +341,7 @@ class HunyuanVideoSampler(Inference):
                 enable_tiling=self.args.vae_tiling,
                 data_type="video" if video_length > 1 else "image",
                 scan_denoise=getattr(self.args, "scan_denoise", None),
+                output_dtype=kwargs.pop("output_dtype", "float32"),
             ).videos
         gen_time = time.time() - start
         if self.logger:

@@ -212,12 +212,10 @@ def joint_attention(
     if mode in ("sta", "sta_int8"):
         if token_grid is None:
             raise ValueError("attn_mode='sta' requires token_grid")
-        if ring_axis:
-            raise NotImplementedError(
-                "STA under ring sequence parallelism is not supported: the "
-                "tile neighborhood spans the rotating K/V shards; use pure "
-                "Ulysses (ring_degree=1) or attn_mode='flash'")
-        if not ulysses_axis:
+        # ring_axis: handled by usp_joint_attention via t-slab halo
+        # exchange (parallel/sp_attention._ring_sta_halo); geometry is
+        # validated by check_sp_compat at pipeline construction.
+        if not ulysses_axis and not ring_axis:
             # "sta_int8" = STA with in-kernel int8 QK^T; needs the static
             # score bound, which _bound_mode grants whenever QK-norm is on.
             # The trainable wrapper keeps the kernel forward and adds a

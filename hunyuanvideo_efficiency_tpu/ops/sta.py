@@ -1326,6 +1326,7 @@ def sta_joint_attention(
     direct: bool = True,
     lane_rotate: Optional[bool] = None,
     ring: Optional[bool] = None,
+    img_key_bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """STA for img queries + dense flash for txt queries.
 
@@ -1346,6 +1347,12 @@ def sta_joint_attention(
     Mosaic's revisiting elision. Numerically identical math (slot order
     only permutes commutative softmax folds). None = module default
     (set_sta_lane_rotate).
+
+    img_key_bias: optional ADDITIVE f32 bias [B, S_img] on the img keys
+    (row-major token order), folded into every query's softmax — img and
+    txt queries alike. Used by ring x STA halo exchange to invalidate the
+    cyclic-wrap halo segments on edge ranks
+    (parallel/sp_attention._ring_sta_halo); NEG_INF masks a key exactly.
 
     score_bound: optional precomputed upper bound on |q.k|*scale
     (broadcastable to [B, H]; see ops/flash_attention.flash_attention).
@@ -1412,7 +1419,10 @@ def sta_joint_attention(
         use_ring = ((_STA_RING if ring is None else ring)
                     and not rot and not qk_int8
                     and gh_g >= wh_ and ww_ >= 2
-                    and slot_block is None)
+                    and slot_block is None
+                    # the ring kernel derives its key bias in-kernel from
+                    # grid geometry alone — no hook for a caller bias
+                    and img_key_bias is None)
         if use_ring:
             pg = (gt_g * tile[0], gh_g * tile[1], gw_g * tile[2])
             kp = _permute_tokens_cols(img_k, grid, tile, pg)
@@ -1484,6 +1494,10 @@ def sta_joint_attention(
                             0.0, NEG_INF)
         img_bias = jnp.broadcast_to(
             jnp.asarray(img_bias, jnp.float32)[None], (b, s_pad))
+        if img_key_bias is not None:
+            img_bias = img_bias + _permute_tokens(
+                img_key_bias.astype(jnp.float32)[..., None, None],
+                grid, tile, plan)[..., 0]
         kb = jnp.broadcast_to(img_bias[:, None, :], (b, 8, s_pad))
 
         lane = 8 if interpret else 128
@@ -1515,8 +1529,11 @@ def sta_joint_attention(
 
         if interpret:
             # CPU tests: the chunked online-softmax path (no Pallas).
+            ib_row = (img_key_bias.astype(jnp.float32)[:, None, None, :]
+                      if img_key_bias is not None
+                      else jnp.zeros((b, 1, 1, s_img), jnp.float32))
             full_kb = jnp.concatenate(
-                [jnp.zeros((b, 1, 1, s_img), jnp.float32),
+                [ib_row,
                  txt_bias.astype(jnp.float32) if txt_bias is not None
                  else jnp.zeros((b, 1, 1, lt), jnp.float32)], axis=-1)
             k_all = jnp.concatenate([img_k, txt_k], axis=1)
@@ -1554,6 +1571,10 @@ def sta_joint_attention(
     img_bias = np.where(tvalid.reshape(-1)[plan["perm"]] > 0, 0.0, NEG_INF)
     img_bias = jnp.broadcast_to(
         jnp.asarray(img_bias, jnp.float32)[None], (b, s_pad))
+    if img_key_bias is not None:
+        img_bias = img_bias + _permute_tokens(
+            img_key_bias.astype(jnp.float32)[..., None, None],
+            grid, tile, plan)[..., 0]
     tb = (txt_bias.reshape(b, lt).astype(jnp.float32) if txt_bias is not None
           else jnp.zeros((b, lt), jnp.float32))
     if txt_pad != lt:
@@ -1580,8 +1601,11 @@ def sta_joint_attention(
     # ~700 MB copies at 720p) and ran ~40 ms/layer vs ~6 ms for flash.
     if interpret:
         # CPU tests: the chunked online-softmax path (no Pallas).
+        ib_row = (img_key_bias.astype(jnp.float32)[:, None, None, :]
+                  if img_key_bias is not None
+                  else jnp.zeros((b, 1, 1, s_img), jnp.float32))
         full_kb = jnp.concatenate(
-            [jnp.zeros((b, 1, 1, s_img), jnp.float32),
+            [ib_row,
              txt_bias.astype(jnp.float32) if txt_bias is not None
              else jnp.zeros((b, 1, 1, lt), jnp.float32)], axis=-1)
         k_all = jnp.concatenate([img_k, txt_k], axis=1)

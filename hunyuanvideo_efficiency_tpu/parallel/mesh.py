@@ -27,7 +27,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DP_AXIS = "dp"
 ULYSSES_AXIS = "ulysses"
 RING_AXIS = "ring"
-SP_AXES = (ULYSSES_AXIS, RING_AXIS)
+# Token-axis sharding order is RING-major: flat token blocks cycle the
+# ulysses axis fastest, so after the Ulysses head-scatter all_to_all
+# (which seq-concats the u blocks sharing a ring index) every ring rank
+# holds one CONTIGUOUS global token range. Ring x STA halo exchange
+# (sp_attention._ring_sta_halo) needs that contiguity — each rank's slab
+# is then a whole run of t-planes whose window neighbors live on the
+# adjacent ranks. Every other path is token-order-agnostic as long as all
+# specs use SP_AXES consistently (they do).
+SP_AXES = (RING_AXIS, ULYSSES_AXIS)
 
 
 @dataclass(frozen=True)

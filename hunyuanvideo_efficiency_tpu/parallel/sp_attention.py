@@ -102,6 +102,86 @@ def _finish(state, dtype):
     return jnp.einsum("bhqd->bqhd", out).astype(dtype)
 
 
+def _ring_sta_halo(img_q, img_k, img_v, txt_q_l, txt_k_l, txt_v_l,
+                   txt_bias, *, ring_axis, scale, attn_mode, token_grid,
+                   sta_tile, sta_window, bound_mode):
+    """Sliding Tile Attention across ring shards via t-slab HALO exchange.
+
+    Each ring rank holds a contiguous global t-slab of tokens (ring-major
+    SP_AXES + Ulysses gather). A q tile's window reaches at most wt//2
+    tile-slabs beyond the local range, so ONE `lax.ppermute` each way of
+    the boundary (wt//2)*tt t-planes of q/k/v builds an extended slab on
+    which the single-device STA dispatch computes every LOCAL query's
+    full window exactly — no per-hop rotation, no softmax-state merging
+    for img queries at all. The cyclic-wrap halo segments received by the
+    global-edge ranks are invalidated with `img_key_bias` (NEG_INF),
+    which reproduces the global window clipping exactly; halo-query
+    outputs are computed locally and discarded (2*(wt//2)/gt_local
+    overhead). Txt queries need GLOBAL img keys: each rank emits a
+    partial flash softmax state over its LOCAL (halo-free) keys, the r
+    states all-gather over the ring and merge, and the replicated
+    txt-key state folds once (xfuser "rear" semantics; reference:
+    hyvideo/modules/attenion.py:159-212 — which supports none of this
+    for sparse attention).
+
+    Inference path (the STA kernel dispatch has no VJP here; training
+    with sta x ring is rejected upstream). Returns local-heads
+    (img_out [B, S_loc, hl*d], txt_out [B, Lt, hl*d])."""
+    from ..ops.flash_attention import flash_attention, merge_flash_states
+    from ..ops.sta import sta_joint_attention
+
+    b, s_loc, hl, d = img_q.shape
+    r = lax.axis_size(ring_axis)
+    ridx = lax.axis_index(ring_axis)
+    t, hh, ww_ = token_grid
+    tt = sta_tile[0]
+    wt = sta_window[0]
+    t_loc = t // r
+    halo_p = (wt // 2) * tt            # t-planes of halo per side
+    halo_s = halo_p * hh * ww_         # tokens per halo
+    up = [(i, (i + 1) % r) for i in range(r)]
+    down = [(i, (i - 1) % r) for i in range(r)]
+
+    def ext(x):
+        if halo_p == 0:
+            return x
+        prev = lax.ppermute(x[:, -halo_s:], ring_axis, up)
+        nxt = lax.ppermute(x[:, :halo_s], ring_axis, down)
+        return jnp.concatenate([prev, x, nxt], axis=1)
+
+    q_e, k_e, v_e = ext(img_q), ext(img_k), ext(img_v)
+    grid_ext = (t_loc + 2 * halo_p, hh, ww_)
+    kb = None
+    if halo_p:
+        ones = jnp.ones((b, halo_s), jnp.float32)
+        kb = jnp.concatenate(
+            [ones * jnp.where(ridx == 0, NEG_INF, 0.0),
+             jnp.zeros((b, s_loc), jnp.float32),
+             ones * jnp.where(ridx == r - 1, NEG_INF, 0.0)], axis=1)
+
+    img_out_e, _ = sta_joint_attention(
+        q_e, k_e, v_e, txt_q_l, txt_k_l, txt_v_l, txt_bias,
+        grid=grid_ext, tile=tuple(sta_tile), window=tuple(sta_window),
+        scale=scale, bound_mode=bound_mode,
+        qk_int8=attn_mode.endswith("int8"), img_key_bias=kb)
+    img_out = img_out_e[:, halo_s:halo_s + s_loc]
+
+    # txt queries over the GLOBAL img keys: local partial states merged
+    # across the ring, txt-key state folded exactly once
+    st_loc = flash_attention(txt_q_l, img_k, img_v, scale=scale,
+                             return_state=True)
+    o_g, m_g, l_g = jax.tree.map(
+        lambda x: lax.all_gather(x, ring_axis), st_loc)
+    st = (o_g[0], m_g[0], l_g[0])
+    for i in range(1, r):
+        st = merge_flash_states(st, (o_g[i], m_g[i], l_g[i]))
+    st_txt = flash_attention(txt_q_l, txt_k_l, txt_v_l, key_bias=txt_bias,
+                             scale=scale, return_state=True)
+    txt_out, _, _ = merge_flash_states(st, st_txt)
+    return (img_out.astype(img_q.dtype),
+            txt_out.astype(img_q.dtype).reshape(b, -1, hl * d))
+
+
 def usp_joint_attention(
     img_q: jnp.ndarray,  # [B, S_loc, H, D] sequence-sharded over (u, r)
     img_k: jnp.ndarray,
@@ -176,6 +256,27 @@ def usp_joint_attention(
             mode=attn_mode, scale=scale, bound_mode=bound_mode,
             score_bound=score_bound, token_grid=token_grid,
             sta_tile=sta_tile, sta_window=sta_window)
+        if u > 1:
+            img_out = img_out.reshape(b, s_r, hl, d)
+            img_out = lax.all_to_all(img_out, axis_name=ulysses_axis,
+                                     split_axis=1, concat_axis=2, tiled=True)
+            img_out = img_out.reshape(b, img_out.shape[1], h * d)
+            txt_out = txt_out.reshape(b, lt, hl, d)
+            txt_out = lax.all_gather(txt_out, ulysses_axis, axis=2,
+                                     tiled=True).reshape(b, lt, h * d)
+        return img_out, txt_out
+
+    if attn_mode.startswith("sta"):
+        # ring x STA via t-slab halo exchange (beyond-reference: xfuser's
+        # USP is dense-only). Requires the ring-major token sharding
+        # (parallel/mesh.SP_AXES) so this rank's gathered tokens are one
+        # contiguous global t-slab; geometry is validated upstream by
+        # check_sp_compat.
+        img_out, txt_out = _ring_sta_halo(
+            img_q, img_k, img_v, txt_q_l, txt_k_l, txt_v_l, txt_bias,
+            ring_axis=ring_axis, scale=scale, attn_mode=attn_mode,
+            token_grid=token_grid, sta_tile=sta_tile, sta_window=sta_window,
+            bound_mode=bound_mode)
         if u > 1:
             img_out = img_out.reshape(b, s_r, hl, d)
             img_out = lax.all_to_all(img_out, axis_name=ulysses_axis,

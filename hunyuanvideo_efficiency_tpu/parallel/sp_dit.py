@@ -78,10 +78,23 @@ def check_sp_compat(cfg: DiTConfig, pcfg: ParallelConfig,
         raise ValueError(
             f"batch {batch} not divisible by dp degree {pcfg.dp_degree}")
     if cfg.attn_mode.startswith("sta") and pcfg.ring_degree > 1:
-        raise ValueError(
-            "attn_mode='sta' requires ring_degree == 1 (pure Ulysses): the "
-            "head-scatter gathers the full sequence per device, which the "
-            "STA tiling needs; ring shards keep K/V split")
+        # ring x STA runs via t-slab halo exchange
+        # (sp_attention._ring_sta_halo) when the geometry admits clean
+        # tile-aligned slabs; otherwise reject with the constraint spelled
+        # out (the reference's xfuser USP is dense-only either way).
+        r = pcfg.ring_degree
+        tt = cfg.sta_tile[0]
+        wt = cfg.sta_window[0]
+        t = token_grid[0]
+        if (wt % 2 == 0 or t % (r * tt) != 0
+                or t // r < (wt // 2) * tt):
+            raise ValueError(
+                f"attn_mode='sta' with ring_degree {r} needs t-slab halo "
+                f"exchange: T={t} must be divisible by ring*tile_t "
+                f"({r}*{tt}), each slab (T/r={t // r} planes) must cover "
+                f"the halo ({wt // 2}*{tt} planes), and the t window "
+                f"({wt}) must be odd — use a pure-Ulysses factorization "
+                f"for this shape instead")
 
 
 def cfg_reorder_for_dp(arr: jnp.ndarray, dp: int) -> jnp.ndarray:

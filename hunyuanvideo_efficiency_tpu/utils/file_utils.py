@@ -30,7 +30,11 @@ def save_videos_grid(videos, path: str, rescale: bool = False, n_rows: int = 1,
 
     rescale=True maps [-1, 1] -> [0, 1] first.
     """
-    videos = _to_numpy(videos).astype(np.float32)
+    if getattr(videos, "dtype", None) == np.uint8 or (
+            hasattr(videos, "dtype") and str(videos.dtype) == "uint8"):
+        videos = _to_numpy(videos).astype(np.float32) / 255.0
+    else:
+        videos = _to_numpy(videos).astype(np.float32)
     if videos.ndim == 4:  # [C, T, H, W]
         videos = videos[None]
     b, c, t, h, w = videos.shape

@@ -162,12 +162,12 @@ def main():
         num_inference_steps=args.steps, guidance_scale=1.0,
         embedded_guidance_scale=6.0, freqs_cis=freqs,
         key=jax.random.PRNGKey(42), enable_tiling=True,
-        progress_callback=progress)
+        progress_callback=progress, output_dtype="uint8")
     t_total = time.perf_counter() - t1
     t_denoise = steps_done[-1] - t1
-    vid = np.asarray(out.videos, np.float32)
+    vid = out.videos  # uint8 on-device quantization: 4x fewer readback
     assert vid.shape == (1, 3, f, h, w), vid.shape
-    assert np.isfinite(vid).all()
+    assert vid.dtype == np.uint8
     # steady-state step time: skip the first (compile-laden) step
     per_step = ((steps_done[-1] - steps_done[0]) / (len(steps_done) - 1)
                 if len(steps_done) > 1 else t_denoise)

@@ -20,6 +20,8 @@ workspaces cannot co-reside twice on a 15.75 GB chip); decoded videos are
 compared host-side from .npy files.
 
 Usage: timeout 14400 python scripts/sta_quality_e2e.py [--steps 50]
+Quant-tier sweep (identical real weights, fp8 vs int8 W8A8 vs
+int8+int4-modulation, STA fixed): --arms qfp8 qint8 qint8i4
 Run serially with other TPU jobs (CLAUDE.md). Emits one JSON line per arm.
 """
 import argparse
@@ -33,12 +35,24 @@ import time
 sys.path.insert(0, ".")
 
 ARMS = {
-    # name -> (attn_mode, dense_double, dense_single)
-    "dense": ("flash", 0, 0),
-    "sta0": ("sta", 0, 0),
-    "sta2": ("sta", 2, 4),
-    "sta4": ("sta", 4, 8),
+    # name -> (attn_mode, dense_double, dense_single, quant, int4_mod)
+    # STA-vs-dense sweep (identical int8 weights; r3/r4 measured table)
+    "dense": ("flash", 0, 0, "int8", False),
+    "sta0": ("sta", 0, 0, "int8", False),
+    "sta2": ("sta", 2, 4, "int8", False),
+    "sta4": ("sta", 4, 8, "int8", False),
+    # Quantization-tier sweep (identical attention operator — STA, no
+    # anchors; identical REAL base weights via build_fp8_params' fixed
+    # key, each arm quantizing them with its own scheme; modulation
+    # randomized in REAL space and re-quantized per arm). Anchor = qfp8
+    # (the reference's own lossy tier, fp8_optimization.py:82-101); the
+    # int8 W8A8 and int4-modulation arms are OUR headline tiers showing
+    # their receipts against it.
+    "qfp8": ("sta", 0, 0, "fp8", False),
+    "qint8": ("sta", 0, 0, "int8", False),
+    "qint8i4": ("sta", 0, 0, "int8", True),
 }
+QUANT_ARMS = ("qfp8", "qint8", "qint8i4")
 
 
 def run_one(args, name, out_path):
@@ -57,7 +71,7 @@ def run_one(args, name, out_path):
     from hunyuanvideo_efficiency_tpu.models.vae_config import VAEConfig
     from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
 
-    attn, dd, ds = ARMS[name]
+    attn, dd, ds, quant, int4_mod = ARMS[name]
     h, w, f = args.height, args.width, args.frames
     big = h * w >= 720 * 1280
     dc, sc = 2, 4  # same staged dispatch in every arm (memory headroom)
@@ -66,11 +80,11 @@ def run_one(args, name, out_path):
         seq_pad_multiple=1024, attn_head_chunks=4,
         sta_dense_double_blocks=dd, sta_dense_single_blocks=ds)
     t0 = time.perf_counter()
-    # int4 modulation packing only where HBM demands it (720p+): the
-    # randomization below writes int8 kernel/scale_out codes (the int4
-    # tree has a different leaf layout), matching scripts/sta_quality.py
-    params = build_fp8_params(cfg, jnp.bfloat16, quant="int8",
-                              quant_refiner=big, int4_modulation=big,
+    # int4 modulation packing: on where the arm asks for it, else only
+    # where HBM demands it (720p+)
+    params = build_fp8_params(cfg, jnp.bfloat16, quant=quant,
+                              quant_refiner=big,
+                              int4_modulation=int4_mod or big,
                               block_chunks=(dc, sc))
 
     # identical re-randomization in every arm (see module docstring)
@@ -80,15 +94,50 @@ def run_one(args, name, out_path):
         params["final_layer"][leaf]["kernel"] = (
             0.02 * jax.random.normal(fk[i], k.shape, k.dtype))
     mod_rng = np.random.default_rng(123)
-    for stacks in (params["double_blocks"], params["single_blocks"]):
-        for tree in (stacks if isinstance(stacks, list) else [stacks]):
-            for mk in ("modulation", "img_mod", "txt_mod"):
-                if mk not in tree or "scale_out" not in tree[mk]:
-                    continue
-                k, s = tree[mk]["kernel"], tree[mk]["scale_out"]
-                codes = mod_rng.integers(-127, 128, k.shape, dtype=np.int8)
-                tree[mk]["kernel"] = jnp.asarray(codes)
-                tree[mk]["scale_out"] = jnp.full(s.shape, 2e-5, s.dtype)
+    if name in QUANT_ARMS:
+        # quant-tier sweep: the SAME real-valued modulation weights in
+        # every arm, quantized with the arm's own scheme — the decoded
+        # delta vs the qfp8 anchor then measures exactly the tier's
+        # numeric error over a full trajectory
+        from hunyuanvideo_efficiency_tpu.ops.quantization import (
+            quantize_tensor_fp8, quantize_tensor_int4, quantize_tensor_int8)
+
+        def requant(wreal):
+            if int4_mod:
+                return quantize_tensor_int4(jnp.asarray(wreal, jnp.float32))
+            if quant == "int8":
+                return quantize_tensor_int8(jnp.asarray(wreal, jnp.float32))
+            return quantize_tensor_fp8(jnp.asarray(wreal, jnp.float32),
+                                       stacked=True)
+
+        for stacks in (params["double_blocks"], params["single_blocks"]):
+            for tree in (stacks if isinstance(stacks, list) else [stacks]):
+                for mk in ("modulation", "img_mod", "txt_mod"):
+                    if mk not in tree:
+                        continue
+                    kk = tree[mk].get("kernel", tree[mk].get("kernel_i4"))
+                    depth, kin = kk.shape[0], kk.shape[1]
+                    kout = (kk.shape[2] * 2 if "kernel_i4" in tree[mk]
+                            else kk.shape[2])
+                    wreal = 0.003 * mod_rng.standard_normal(
+                        (depth, kin, kout)).astype(np.float32)
+                    rest = {k2: v for k2, v in tree[mk].items()
+                            if k2 not in ("kernel", "kernel_i4", "scale",
+                                          "scale_out")}
+                    tree[mk] = {**rest, **requant(wreal)}
+    else:
+        # STA-vs-dense sweep (int8 layout): randomize the int8 CODES
+        # directly — identical in every arm of that sweep
+        for stacks in (params["double_blocks"], params["single_blocks"]):
+            for tree in (stacks if isinstance(stacks, list) else [stacks]):
+                for mk in ("modulation", "img_mod", "txt_mod"):
+                    if mk not in tree or "scale_out" not in tree[mk]:
+                        continue
+                    k, s = tree[mk]["kernel"], tree[mk]["scale_out"]
+                    codes = mod_rng.integers(-127, 128, k.shape,
+                                             dtype=np.int8)
+                    tree[mk]["kernel"] = jnp.asarray(codes)
+                    tree[mk]["scale_out"] = jnp.full(s.shape, 2e-5, s.dtype)
     print(f"# {name}: params in {time.perf_counter() - t0:.1f} s",
           file=sys.stderr)
 
@@ -144,8 +193,11 @@ def main():
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--frames", type=int, default=129)
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--arms", nargs="+", default=list(ARMS),
-                    choices=list(ARMS))
+    ap.add_argument("--arms", nargs="+",
+                    default=["dense", "sta0", "sta2", "sta4"],
+                    choices=list(ARMS),
+                    help="STA sweep by default; the quant-tier sweep is "
+                         "--arms qfp8 qint8 qint8i4")
     ap.add_argument("--one", choices=list(ARMS), default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--keep", default=None,
@@ -190,22 +242,31 @@ def main():
         v = np.load(path).astype(np.float32)  # [1, C, T, H, W] in [0, 1]
         return (v.clip(0, 1) * 255).astype(np.uint8)[0].transpose(1, 2, 3, 0)
 
-    a8 = to_thwc_u8(paths["dense"])
-    for name in args.arms:
-        if name == "dense":
+    # two sweep families, each with its own anchor: STA-vs-dense anchors
+    # on the dense-flash arm; the quant-tier sweep anchors on qfp8 (the
+    # reference's own lossy tier)
+    for anchor, label in (("dense", "sta-vs-dense"),
+                          ("qfp8", "quant-tier-vs-fp8")):
+        members = [n for n in args.arms
+                   if (n in QUANT_ARMS) == (anchor == "qfp8")]
+        if anchor not in paths or len(members) < 2:
             continue
-        b8 = to_thwc_u8(paths[name])
-        print(json.dumps({
-            "metric": f"sta-vs-dense E2E {args.width}x{args.height}x"
-                      f"{args.frames}f {args.steps}-step",
-            "arm": name,
-            "psnr_db": round(psnr_video(a8, b8), 3),
-            "ssim": round(ssim_video(a8, b8), 5),
-            # ms-ssim on every 8th frame (pure-numpy multiscale on a
-            # 1-core host; psnr/ssim use the threaded C++ core)
-            "ms_ssim": round(float(np.mean(
-                [ms_ssim(x, y) for x, y in zip(a8[::8], b8[::8])])), 5),
-            "lpips": "env-blocked (AlexNet weights unfetchable)"}))
+        a8 = to_thwc_u8(paths[anchor])
+        for name in members:
+            if name == anchor:
+                continue
+            b8 = to_thwc_u8(paths[name])
+            print(json.dumps({
+                "metric": f"{label} E2E {args.width}x{args.height}x"
+                          f"{args.frames}f {args.steps}-step",
+                "arm": name,
+                "psnr_db": round(psnr_video(a8, b8), 3),
+                "ssim": round(ssim_video(a8, b8), 5),
+                # ms-ssim on every 8th frame (pure-numpy multiscale on a
+                # 1-core host; psnr/ssim use the threaded C++ core)
+                "ms_ssim": round(float(np.mean(
+                    [ms_ssim(x, y) for x, y in zip(a8[::8], b8[::8])])), 5),
+                "lpips": "env-blocked (AlexNet weights unfetchable)"}))
 
 
 if __name__ == "__main__":

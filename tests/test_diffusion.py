@@ -303,3 +303,55 @@ def test_phase_sequenced_text_then_deferred_transformer():
     assert built == [True]
     assert out.videos.shape == (1, 3, 9, 32, 32)
     assert np.isfinite(out.videos).all()
+
+
+def test_pipeline_output_dtype_uint8_matches_float(tiny_pipe_factory=None):
+    """output_dtype='uint8' quantizes ON DEVICE (4x smaller host readback
+    through remote-device links) and must equal the float output's own
+    round(x*255) quantization bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hunyuanvideo_efficiency_tpu.diffusion.pipeline import (
+        HunyuanVideoPipeline)
+    from hunyuanvideo_efficiency_tpu.diffusion.scheduler import (
+        FlowMatchDiscreteScheduler)
+    from hunyuanvideo_efficiency_tpu.models.dit import init_dit_params
+    from hunyuanvideo_efficiency_tpu.models.dit_config import DiTConfig
+    from hunyuanvideo_efficiency_tpu.models.vae import (AutoencoderKLCausal3D,
+                                                        init_vae_params)
+    from hunyuanvideo_efficiency_tpu.models.vae_config import VAEConfig
+    from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
+
+    cfg = DiTConfig(hidden_size=64, heads_num=2, mm_double_blocks_depth=1,
+                    mm_single_blocks_depth=1, rope_dim_list=(8, 12, 12),
+                    text_states_dim=32, text_states_dim_2=24,
+                    attn_mode="sdpa")
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    vcfg = VAEConfig(block_out_channels=(16, 16, 32, 32),
+                     layers_per_block=1, norm_num_groups=8)
+    vae = AutoencoderKLCausal3D(vcfg, init_vae_params(jax.random.PRNGKey(1),
+                                                      vcfg))
+    pipe = HunyuanVideoPipeline(
+        vae=vae, text_encoder=None, text_encoder_2=None,
+        transformer_params=params, transformer_cfg=cfg,
+        scheduler=FlowMatchDiscreteScheduler(shift=7.0, reverse=True))
+    h, w, f = 32, 32, 5
+    freqs = get_nd_rotary_pos_embed(cfg.rope_dim_list,
+                                    ((f - 1) // 4 + 1, h // 16, w // 16))
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    kw = dict(prompt_embeds=jax.random.normal(ks[0], (1, 8, 32)),
+              prompt_mask=jnp.ones((1, 8), jnp.int32),
+              prompt_embeds_2=jax.random.normal(ks[1], (1, 24)),
+              height=h, width=w, video_length=f, num_inference_steps=2,
+              guidance_scale=1.0, embedded_guidance_scale=6.0,
+              freqs_cis=freqs, key=jax.random.PRNGKey(42))
+    f32 = pipe(**kw).videos
+    u8 = pipe(**kw, output_dtype="uint8").videos
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(
+        u8, np.round(f32 * 255.0).astype(np.uint8))
+    f16 = pipe(**kw, output_dtype="float16").videos
+    assert f16.dtype == np.float16
+    np.testing.assert_allclose(f16.astype(np.float32), f32, atol=1e-3)

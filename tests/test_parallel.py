@@ -244,13 +244,45 @@ def test_sta_under_ulysses_parity(u):
                                rtol=2e-3, atol=2e-3)
 
 
-def test_sta_under_ring_raises():
-    from hunyuanvideo_efficiency_tpu.parallel import check_sp_compat
+@pytest.mark.parametrize("u,r", [(2, 2), (1, 2), (1, 4)])
+def test_sta_under_ring_halo_parity(u, r):
+    """STA with ring > 1 via t-slab halo exchange == single-device STA:
+    each ring rank's contiguous t-slab (ring-major SP_AXES) is extended by
+    one ppermute of (wt//2)*tt boundary planes each way, the local STA
+    dispatch covers every local query's full window, and edge ranks mask
+    the cyclic-wrap halo (img_key_bias) to reproduce the global clipping
+    (beyond-reference: xfuser's USP is dense-only)."""
+    b = 1
+    params = init_dit_params(jax.random.PRNGKey(0), STA_CFG)
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    x = jax.random.normal(ks[0], (b, 16, 4, 16, 12), jnp.float32)
+    ts = jnp.full((b,), 500.0)
+    txt = jax.random.normal(ks[1], (b, 8, 64), jnp.float32)
+    mask = jnp.ones((b, 8), jnp.int32)
+    txt2 = jax.random.normal(ks[2], (b, 32), jnp.float32)
+    grid = (4, 8, 6)  # T=4 = r*tt for r=2 (tt=2); r=4 -> T/r < tile
+    if r == 4:
+        from hunyuanvideo_efficiency_tpu.parallel import check_sp_compat
 
-    with pytest.raises(ValueError, match="ring_degree == 1"):
-        check_sp_compat(STA_CFG, ParallelConfig(ulysses_degree=2,
-                                                ring_degree=2),
-                        (4, 8, 6), 1)
+        with pytest.raises(ValueError, match="halo"):
+            check_sp_compat(STA_CFG, ParallelConfig(ulysses_degree=u,
+                                                    ring_degree=r),
+                            grid, 1)
+        return
+    cos, sin = get_nd_rotary_pos_embed(STA_CFG.rope_dim_list, grid,
+                                       theta=STA_CFG.rope_theta)
+
+    ref = dit_forward(params, x, ts, txt, mask, txt2, cos, sin, cfg=STA_CFG)
+
+    pcfg = ParallelConfig(ulysses_degree=u, ring_degree=r)
+    mesh = make_mesh(pcfg)
+    fwd = make_sp_dit_forward(mesh, STA_CFG, pcfg, token_grid=grid)
+    out_tok = fwd(params, patchify_raw(x, STA_CFG.patch_size), ts, txt,
+                  mask, txt2, cos, sin, jnp.zeros((b,), jnp.float32))
+    out = unpatchify(out_tok, *grid, STA_CFG.out_channels,
+                     STA_CFG.patch_size)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_flash_inside_shard_map_parity():
