@@ -496,12 +496,15 @@ class HunyuanVideoPipeline:
                     "transformer weights were freed by a previous "
                     "offload_transformer='free' run; reload the pipeline")
             # sequential offload: only the phase that is executing keeps
-            # its weights on device (restore is a no-op when already there)
-            self.transformer_params = jax.device_put(
-                self.transformer_params, jax.devices()[0])
+            # its weights on device. Offload the VAE BEFORE materializing
+            # the DiT — peak HBM must be the max, not the sum, of the two
+            # phases (the 13 GB fp8 tier OOMs in the other order; measured
+            # RESOURCE_EXHAUSTED, r5)
             if self.vae is not None:
                 self.vae.params = jax.device_put(
                     self.vae.params, jax.devices("cpu")[0])
+            self.transformer_params = jax.device_put(
+                self.transformer_params, jax.devices()[0])
         egs = (float(embedded_guidance_scale)
                if embedded_guidance_scale is not None else None)
         if use_sp:

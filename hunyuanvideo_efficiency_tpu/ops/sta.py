@@ -228,6 +228,23 @@ def _permute_tokens(x, grid, tile, plan):
     return xg.reshape(b, tp * hp * wp, hh * d)
 
 
+def _pad_tokens_5d(x, grid, padded_grid):
+    """[B, S_img, H, D] row-major -> [B, Tp, Hp, Wp, HD] zero-padded.
+
+    The direct STA kernel (r5) gathers neighbor K/V tiles straight out of
+    this layout via 5-d BlockSpecs, so the tile-major transpose
+    (_permute_tokens) is replaced by a contiguous pad — free when the grid
+    is already tile-aligned, and fusable into the producer otherwise."""
+    b, s, hh, d = x.shape
+    t, h, w = grid
+    tp, hp, wp = padded_grid
+    xg = x.reshape(b, t, h, w, hh * d)
+    if (tp, hp, wp) == (t, h, w):
+        return xg
+    return jnp.pad(xg, ((0, 0), (0, tp - t), (0, hp - h), (0, wp - w),
+                        (0, 0)))
+
+
 def _unpermute_tokens(y, grid, plan, tile=None):
     """[B, S_pad, HD] tile-major -> [B, S_img, HD] row-major (inverse
     transpose of _permute_tokens)."""
@@ -598,10 +615,15 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
     those rows' output stores land in the masked-off pad region. Text keys/
     values ride as small RESIDENT operands (index map constant in qi/g, so
     Mosaic fetches them once per (batch, head-group)) folded in a dedicated
-    final grid group — kcat/vcat concatenated copies are gone too. K/V stay
-    in the zero-padded tile-major form (kp/vp): key-side garbage would
-    poison whole columns, so those two permutes remain (see
-    sta_joint_attention for the traffic accounting)."""
+    final grid group — kcat/vcat concatenated copies are gone too. K/V are
+    read from the ZERO-PADDED row-major grid [B, Tp, Hp, Wp, hd] (r5):
+    each slot's index map decomposes the neighbor tile index into its
+    (t, h, w) tile coordinates and the (1, tt, th, tw, hb_d) block gathers
+    the tile exactly like the q block does — the DMA granularity (tt*th*tw
+    runs of hb_d elements) is byte-identical to the former tile-major
+    fetch, so the two transposing _permute_tokens copies are replaced by
+    one contiguous jnp.pad (key-side pad tokens are ZEROS, masked by the
+    tile-major kb bias as before)."""
     kb_refs = refs[:slot_block]
     q_ref = refs[slot_block]
     k_refs = refs[slot_block + 1:2 * slot_block + 1]
@@ -655,6 +677,11 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
     @pl.when(img_gate)
     def _group():
         qblk = q_ref[0].reshape(block, hb_d)
+        # row-major (1, tt, th, tw, hb_d) K/V blocks collapse to the tile-
+        # major (block, hb_d) matrix exactly like the q block — a free
+        # leading-dim reshape in VMEM
+        kblks = [k_refs[i][0].reshape(block, hb_d) for i in range(slot_block)]
+        vblks = [v_refs[i][0].reshape(block, hb_d) for i in range(slot_block)]
         kbias = jnp.concatenate(
             [kb_refs[i][0, 0:1, :]
              + jnp.where(nbr_ref[qi, g * slot_block + i] >= 0, 0.0, NEG_INF)
@@ -670,7 +697,7 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
                 q8 = jnp.round(qf * (1.0 / sq)).astype(jnp.int8)
                 parts = []
                 for i in range(slot_block):
-                    kf = k_refs[i][0][:, cs].astype(jnp.float32)
+                    kf = kblks[i][:, cs].astype(jnp.float32)
                     sk = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-6) / 127.0
                     k8 = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
                     s32 = jax.lax.dot_general(
@@ -681,7 +708,7 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
             else:
                 s = jnp.concatenate(
                     [jax.lax.dot_general(
-                        qblk[:, cs], k_refs[i][0][:, cs],
+                        qblk[:, cs], kblks[i][:, cs],
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                      for i in range(slot_block)], axis=-1) * scale
@@ -693,7 +720,7 @@ def _sta_nomax_direct_kernel(nbr_ref, dma_ref, c_ref, *refs, scale: float,
             for i in range(slot_block):
                 pvi = jax.lax.dot_general(
                     p[:, i * blk:(i + 1) * blk].astype(v_refs[i].dtype),
-                    v_refs[i][0][:, cs], (((1,), (0,)), ((), ())),
+                    vblks[i][:, cs], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 pv = pvi if pv is None else pv + pvi
             acc_scr[:, cs] = acc_scr[:, cs] + pv
@@ -740,9 +767,12 @@ def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
     """Direct-grid static-offset STA dispatch.
 
     q5 [B, T, H, W, hd] row-major token grid (reshape view — never copied);
-    kp/vp [B, S_pad, hd] tile-major img K/V (zero-padded); txt_k/txt_v
+    kp/vp [B, Tp, Hp, Wp, hd] ZERO-PADDED row-major img K/V (r5 — the
+    former tile-major permuted form is gone; each slot's index map picks
+    the neighbor tile's (t, h, w) block coordinates directly); txt_k/txt_v
     [B, Ltp, hd]; tb [B, 8, Ltp] text key bias; kb [B, 8, S_pad] img key
-    bias; c [B, H] static score bounds. Returns [B, T, H, W, hd]."""
+    bias (TILE-major order — it is indexed by flat tile like before);
+    c [B, H] static score bounds. Returns [B, T, H, W, hd]."""
     b = q5.shape[0]
     hd = q5.shape[-1]
     d = hd // heads
@@ -803,10 +833,14 @@ def _sta_call_nomax_direct(nbr, kb, q5, kp, vp, txt_k, txt_v, tb, c, grid3,
                 (bi, 0, dma_s[qi, g * slot_block + i]))
 
     def kv_spec(i):
-        return pl.BlockSpec(
-            (1, block, hb_d),
-            lambda bi, hi, qi, g, nbr_s, dma_s, c_s, i=i:
-                (bi, dma_s[qi, g * slot_block + i], hi))
+        # decompose the forward-filled flat tile index into its (t, h, w)
+        # tile coordinates in the padded row-major grid; identical flat
+        # indices on consecutive steps decompose to identical coordinate
+        # triples, so Mosaic's revisiting elision still skips their copies
+        def idx(bi, hi, qi, g, nbr_s, dma_s, c_s, i=i):
+            ti = dma_s[qi, g * slot_block + i]
+            return (bi, ti // (gh * gw), (ti // gw) % gh, ti % gw, hi)
+        return pl.BlockSpec((1, tt, th, tw, hb_d), idx)
 
     def qo_idx(bi, hi, qi, g, nbr_s, dma_s, c_s):
         return (bi, qi // (gh * gw), (qi // gw) % gh, qi % gw, hi)
@@ -1253,8 +1287,10 @@ def _sta_call(nbr, kb, q, kcat, vcat, heads, scale, block, n_slots,
 def txt_merge_attention(txt_q, kp, vp, img_bias, txt_k, txt_v, txt_bias,
                         c, scale):
     """txt queries attend over [img | txt] as a merge of two partial-softmax
-    flash states (img keys read from the tile-major kp/vp [B, S_pad, H*D]
-    already in HBM; the merge with a SHARED static offset `c` is exact — no
+    flash states (img keys read from the padded kp/vp [B, S_pad, H*D]
+    already in HBM — any token order works as long as img_bias masks the
+    pad positions in the SAME order: full attention is key-order
+    invariant; the merge with a SHARED static offset `c` is exact — no
     kcat concat needed). Factored out of the TPU-only direct STA branch so
     interpret-mode tests can oracle the merge on CPU."""
     from .flash_attention import flash_attention, merge_flash_states
@@ -1334,9 +1370,11 @@ def sta_joint_attention(
     out written to the row-major token grid via 5D blocks, txt K/V resident
     in the kernel. Eliminates the q permute, the out un-permute, and the
     kcat/vcat concats (~6.5 of ~9.7 GB/layer of plumbing HBM traffic at
-    720p); only the K/V tile-major permutes remain (their zero padding is
-    what keeps edge-block loads poison-free). direct=False keeps the
-    original permuted+concatenated dispatch (parity oracle in tests).
+    720p); K/V too are read from the row-major grid via 5-d slot blocks
+    (r5) — the former tile-major K/V permutes are now a single contiguous
+    zero-pad (poison-free edge loads, same DMA granularity per tile).
+    direct=False keeps the original permuted+concatenated dispatch
+    (parity oracle in tests).
     `fused=False` (an ablation knob of the permuted dispatch) takes
     precedence over `direct`: it routes to the permuted unfused kernel, so
     benchmarking callers always get the variant they asked for.
@@ -1483,22 +1521,32 @@ def sta_joint_attention(
         else:
             nbr = jnp.asarray(plan["nbr"])  # img-only neighbor slots
             nbr_dma = None
-        kp = _permute_tokens(img_k, grid, tile, plan)
-        vp = _permute_tokens(img_v, grid, tile, plan)
-        s_pad = kp.shape[1]
-
+        # r5: K/V stay in the row-major grid, zero-padded to tile-aligned
+        # bounds — a contiguous pad instead of two transposing
+        # _permute_tokens copies (~15 ms/layer at 720p); the kernel's slot
+        # index maps gather neighbor tiles from the 5-d layout directly.
         tgrid = plan["padded_grid"]
+        kp5 = _pad_tokens_5d(img_k, grid, tgrid)
+        vp5 = _pad_tokens_5d(img_v, grid, tgrid)
+        s_pad = tgrid[0] * tgrid[1] * tgrid[2]
+
         tvalid = np.zeros(tgrid, np.float32)
         tvalid[:grid[0], :grid[1], :grid[2]] = 1.0
-        img_bias = np.where(tvalid.reshape(-1)[plan["perm"]] > 0,
-                            0.0, NEG_INF)
-        img_bias = jnp.broadcast_to(
-            jnp.asarray(img_bias, jnp.float32)[None], (b, s_pad))
+        # kernel key bias: TILE-major order (indexed by flat tile inside
+        # the kernel); txt-merge bias: row-major (kp5's flat token order)
+        kb = jnp.broadcast_to(jnp.asarray(
+            np.where(tvalid.reshape(-1)[plan["perm"]] > 0, 0.0, NEG_INF),
+            jnp.float32)[None], (b, s_pad))
+        img_bias = jnp.broadcast_to(jnp.asarray(
+            np.where(tvalid.reshape(-1) > 0, 0.0, NEG_INF),
+            jnp.float32)[None], (b, s_pad))
         if img_key_bias is not None:
-            img_bias = img_bias + _permute_tokens(
-                img_key_bias.astype(jnp.float32)[..., None, None],
-                grid, tile, plan)[..., 0]
-        kb = jnp.broadcast_to(img_bias[:, None, :], (b, 8, s_pad))
+            ikb = img_key_bias.astype(jnp.float32)
+            kb = kb + _permute_tokens(ikb[..., None, None],
+                                      grid, tile, plan)[..., 0]
+            img_bias = img_bias + _pad_tokens_5d(
+                ikb[..., None, None], grid, tgrid).reshape(b, s_pad)
+        kb = jnp.broadcast_to(kb[:, None, :], (b, 8, s_pad))
 
         lane = 8 if interpret else 128
         ltp = _ceil(lt, lane) * lane
@@ -1516,7 +1564,7 @@ def sta_joint_attention(
         c = static_bound()
         q5 = img_q.reshape(b, grid[0], grid[1], grid[2], hh * d)
         out5 = _sta_call_nomax_direct(
-            nbr, kb, q5, kp, vp, txt_k_f, txt_v_f, tbb, c, tuple(grid), hh,
+            nbr, kb, q5, kp5, vp5, txt_k_f, txt_v_f, tbb, c, tuple(grid), hh,
             float(scale), block, plan["n_slots"], interpret, qk_int8,
             tuple(tile),
             # rotation plans fix their own slot grouping — normalize a
@@ -1541,8 +1589,10 @@ def sta_joint_attention(
             txt_out = attention(txt_q, k_all, v_all, mode="chunked",
                                 key_bias=full_kb, scale=scale)
             return img_out, txt_out
-        txt_out = txt_merge_attention(txt_q, kp, vp, img_bias, txt_k,
-                                      txt_v, txt_bias, c, scale)
+        txt_out = txt_merge_attention(
+            txt_q, kp5.reshape(b, s_pad, hh * d),
+            vp5.reshape(b, s_pad, hh * d), img_bias, txt_k,
+            txt_v, txt_bias, c, scale)
         return img_out, txt_out
 
     txt_pad = _ceil(lt, block) * block

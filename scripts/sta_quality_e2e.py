@@ -70,6 +70,12 @@ def run_one(args, name, out_path):
                                                         init_vae_params)
     from hunyuanvideo_efficiency_tpu.models.vae_config import VAEConfig
     from hunyuanvideo_efficiency_tpu.ops.rope import get_nd_rotary_pos_embed
+    from hunyuanvideo_efficiency_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+
+    # arms run in fresh subprocesses; shared programs (VAE decode tiles,
+    # identical-dtype denoise steps) warm-start from the persistent cache
+    enable_compilation_cache()
 
     attn, dd, ds, quant, int4_mod = ARMS[name]
     h, w, f = args.height, args.width, args.frames
@@ -80,6 +86,19 @@ def run_one(args, name, out_path):
         seq_pad_multiple=1024, attn_head_chunks=4,
         sta_dense_double_blocks=dd, sta_dense_single_blocks=ds)
     t0 = time.perf_counter()
+
+    # build the VAE FIRST and park its params on host: the 13 GB fp8 DiT
+    # tree leaves no room for a co-resident VAE (measured
+    # RESOURCE_EXHAUSTED at the denoise-phase VAE offload, r5); the
+    # pipeline's sequential offload re-puts it for the decode phase
+    vcfg = VAEConfig()
+    vae = AutoencoderKLCausal3D(
+        vcfg,
+        jax.device_put(init_vae_params(jax.random.PRNGKey(1), vcfg,
+                                       jnp.bfloat16),
+                       jax.devices("cpu")[0]),
+        dtype=jnp.bfloat16)
+    vae.uniform_tiles = True
     # int4 modulation packing: on where the arm asks for it, else only
     # where HBM demands it (720p+)
     params = build_fp8_params(cfg, jnp.bfloat16, quant=quant,
@@ -98,17 +117,34 @@ def run_one(args, name, out_path):
         # quant-tier sweep: the SAME real-valued modulation weights in
         # every arm, quantized with the arm's own scheme — the decoded
         # delta vs the qfp8 anchor then measures exactly the tier's
-        # numeric error over a full trajectory
-        from hunyuanvideo_efficiency_tpu.ops.quantization import (
-            quantize_tensor_fp8, quantize_tensor_int4, quantize_tensor_int8)
+        # numeric error over a full trajectory. The requant runs HOST-SIDE
+        # in numpy (bit-matching ops/quantization.py): device-putting the
+        # 4.5 GB fp32 real tree next to the resident 13 GB fp8 params
+        # OOMs the chip (measured RESOURCE_EXHAUSTED, r5); the packed np
+        # leaves ride onto the device with the first jitted call instead.
+        import ml_dtypes
 
-        def requant(wreal):
-            if int4_mod:
-                return quantize_tensor_int4(jnp.asarray(wreal, jnp.float32))
-            if quant == "int8":
-                return quantize_tensor_int8(jnp.asarray(wreal, jnp.float32))
-            return quantize_tensor_fp8(jnp.asarray(wreal, jnp.float32),
-                                       stacked=True)
+        def requant(wreal):  # np f32 [depth, kin, kout]
+            if int4_mod:  # == quantize_tensor_int4
+                amax = np.abs(wreal).max(axis=-2, keepdims=True)
+                scale = np.maximum(amax, 1e-12) / 7.0
+                q = np.clip(np.round(wreal / scale), -7, 7).astype(np.int8)
+                low = q[..., 0::2] & 0xF
+                high = q[..., 1::2] & 0xF
+                return {"kernel_i4": (low | (high << 4)).astype(np.uint8),
+                        "scale_out": scale.astype(np.float32)}
+            if quant == "int8":  # == quantize_tensor_int8
+                amax = np.abs(wreal).max(axis=-2, keepdims=True)
+                scale = np.maximum(amax, 1e-12) / 127.0
+                q = np.clip(np.round(wreal / scale), -127,
+                            127).astype(np.int8)
+                return {"kernel": q, "scale_out": scale.astype(np.float32)}
+            # == quantize_tensor_fp8(stacked=True): per-block scales
+            amax = np.abs(wreal).max(axis=(1, 2), keepdims=True)
+            scale = np.maximum(amax, 1e-12) / 448.0
+            q = np.clip(wreal / scale, -448.0, 448.0)
+            return {"kernel": q.astype(ml_dtypes.float8_e4m3fn),
+                    "scale": scale.astype(np.float32)}
 
         for stacks in (params["double_blocks"], params["single_blocks"]):
             for tree in (stacks if isinstance(stacks, list) else [stacks]):
@@ -119,12 +155,15 @@ def run_one(args, name, out_path):
                     depth, kin = kk.shape[0], kk.shape[1]
                     kout = (kk.shape[2] * 2 if "kernel_i4" in tree[mk]
                             else kk.shape[2])
+                    # f32 draw (no f64 transient); one call per tree keeps
+                    # the stream identical across arms
                     wreal = 0.003 * mod_rng.standard_normal(
-                        (depth, kin, kout)).astype(np.float32)
+                        (depth, kin, kout), dtype=np.float32)
                     rest = {k2: v for k2, v in tree[mk].items()
                             if k2 not in ("kernel", "kernel_i4", "scale",
                                           "scale_out")}
                     tree[mk] = {**rest, **requant(wreal)}
+                    del wreal
     else:
         # STA-vs-dense sweep (int8 layout): randomize the int8 CODES
         # directly — identical in every arm of that sweep
@@ -140,12 +179,6 @@ def run_one(args, name, out_path):
                     tree[mk]["scale_out"] = jnp.full(s.shape, 2e-5, s.dtype)
     print(f"# {name}: params in {time.perf_counter() - t0:.1f} s",
           file=sys.stderr)
-
-    vcfg = VAEConfig()
-    vae = AutoencoderKLCausal3D(
-        vcfg, init_vae_params(jax.random.PRNGKey(1), vcfg, jnp.bfloat16),
-        dtype=jnp.bfloat16)
-    vae.uniform_tiles = True
 
     pipe = HunyuanVideoPipeline(
         vae=vae, text_encoder=None, text_encoder_2=None,
